@@ -1,0 +1,18 @@
+"""Test config: force the CPU backend with 8 virtual devices.
+
+The driver environment pins JAX_PLATFORMS=axon (one real TPU chip); tests run
+on CPU so they are hermetic, and multi-chip sharding tests get an 8-device
+virtual mesh (SURVEY.md §4 item 4)."""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

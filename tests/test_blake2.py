@@ -1,0 +1,71 @@
+import hashlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from zkodst_tpu.ops import blake2, u64
+
+rng = np.random.default_rng(42)
+
+
+def test_blake2b_py_matches_hashlib():
+    """Full-hash oracle: our Python F drives a complete BLAKE2b that must
+    match hashlib for many lengths (incl. multi-block and empty)."""
+    for n in [0, 1, 3, 64, 127, 128, 129, 255, 256, 300, 1000]:
+        data = rng.bytes(n)
+        assert blake2.blake2b_py(data) == hashlib.blake2b(data).digest(), n
+    assert blake2.blake2b_py(b"abc").hex() == blake2.EIP152_VECTOR["expected"]
+
+
+def test_eip152_vector_py():
+    v = blake2.EIP152_VECTOR
+    out = blake2.blake2f_py(list(v["h"]), list(v["m"]), v["t"], v["f"],
+                            v["rounds"])
+    got = b"".join(x.to_bytes(8, "little") for x in out).hex()
+    assert got == v["expected"]
+
+
+def test_eip152_vector_jax():
+    v = blake2.EIP152_VECTOR
+    h = u64.from_ints(list(v["h"]))
+    m = u64.from_ints(list(v["m"]))
+    t = u64.from_ints(list(v["t"]))
+    out = blake2.blake2f(h, m, t, True, v["rounds"])
+    got = b"".join(int(x).to_bytes(8, "little")
+                   for x in u64.to_ints(out)).hex()
+    assert got == v["expected"]
+
+
+def test_jax_matches_py_random_batched():
+    B = 17
+    hs = rng.integers(0, 1 << 64, size=(B, 8), dtype=np.uint64)
+    ms = rng.integers(0, 1 << 64, size=(B, 16), dtype=np.uint64)
+    ts = rng.integers(0, 1 << 64, size=(B, 2), dtype=np.uint64)
+    fs = rng.integers(0, 2, size=(B,)).astype(bool)
+
+    h = u64.from_ints(hs.reshape(-1)).reshape(B, 8, 2)
+    m = u64.from_ints(ms.reshape(-1)).reshape(B, 16, 2)
+    t = u64.from_ints(ts.reshape(-1)).reshape(B, 2, 2)
+    out = jax.jit(blake2.blake2f, static_argnums=4)(h, m, t, jnp.asarray(fs), 12)
+
+    for b in range(B):
+        want = blake2.blake2f_py([int(x) for x in hs[b]],
+                                 [int(x) for x in ms[b]],
+                                 (int(ts[b][0]), int(ts[b][1])),
+                                 bool(fs[b]))
+        got = [int(x) for x in u64.to_ints(out[b])]
+        assert got == want, b
+
+
+def test_odd_round_counts():
+    """EIP-152 allows arbitrary round counts; rounds != 12 exercises the
+    SIGMA wraparound."""
+    v = blake2.EIP152_VECTOR
+    for r in [0, 1, 5, 10, 21]:
+        h = u64.from_ints(list(v["h"]))
+        m = u64.from_ints(list(v["m"]))
+        t = u64.from_ints(list(v["t"]))
+        out = blake2.blake2f(h, m, t, True, r)
+        want = blake2.blake2f_py(list(v["h"]), list(v["m"]), v["t"], True, r)
+        assert [int(x) for x in u64.to_ints(out)] == want

@@ -1,0 +1,221 @@
+"""BLAKE2b compression function F (EIP-152 / RFC 7693), TPU-native.
+
+Two implementations with identical semantics:
+
+* :func:`blake2f` — pure JAX over u64-as-uint32-pairs (:mod:`..ops.u64`),
+  fully elementwise over leading batch axes, so one call compresses any
+  number of instances (BASELINE.json config 3: 1024 vectorized compressions).
+* :func:`blake2f_py` — plain-Python-int reference used as the test oracle.
+
+The constants (IV, SIGMA) and the algorithm follow RFC 7693 §2.6/§3.2 and
+EIP-152; they correspond to the reference's IV/ROUND_CONSTANTS tables
+(/root/reference/blake2f-circuit/src/blake2f/table16.rs:32-56) and the Mix
+pseudocode in its design doc (blake2f-circuit/src/README.md), but are derived
+from the public spec and validated against `hashlib.blake2b`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import u64
+
+# RFC 7693 §2.6 — BLAKE2b initialization vector (same as SHA-512 IV).
+IV = (
+    0x6A09E667F3BCC908, 0xBB67AE8584CAA73B,
+    0x3C6EF372FE94F82B, 0xA54FF53A5F1D36F1,
+    0x510E527FADE682D1, 0x9B05688C2B3E6C1F,
+    0x1F83D9ABFB41BD6B, 0x5BE0CD19137E2179,
+)
+
+# RFC 7693 §2.7 — message word permutation schedule.
+SIGMA = (
+    (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
+    (14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3),
+    (11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4),
+    (7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8),
+    (9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13),
+    (2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9),
+    (12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11),
+    (13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10),
+    (6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5),
+    (10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0),
+)
+
+# RFC 7693 §3.2 — the (a, b, c, d) index quadruples of the 8 G calls per round:
+# 4 column mixes then 4 diagonal mixes.
+G_INDICES = (
+    (0, 4, 8, 12), (1, 5, 9, 13), (2, 6, 10, 14), (3, 7, 11, 15),
+    (0, 5, 10, 15), (1, 6, 11, 12), (2, 7, 8, 13), (3, 4, 9, 14),
+)
+
+ROUNDS = 12  # BLAKE2b standard round count; EIP-152 makes it a parameter.
+MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# JAX implementation (vectorized over leading axes)
+#
+# TPU-first formulation: the 4 column G-calls are independent, as are the 4
+# diagonal G-calls after rotating the b/c/d rows — so a round is two
+# *vectorized* G steps over a (..., 4, 2) lane axis instead of 8 scalar calls.
+# Rounds run under `lax.scan` with the SIGMA message schedule pre-gathered, so
+# the traced graph is one small round body regardless of the round count.
+# ---------------------------------------------------------------------------
+
+def _g_vec(a, b, c, d, x, y):
+    """Vectorized G over a trailing lane axis: all args (..., L, 2)."""
+    a = u64.add(u64.add(a, b), x)
+    d = u64.rotr(u64.xor(d, a), 32)
+    c = u64.add(c, d)
+    b = u64.rotr(u64.xor(b, c), 24)
+    a = u64.add(u64.add(a, b), y)
+    d = u64.rotr(u64.xor(d, a), 16)
+    c = u64.add(c, d)
+    b = u64.rotr(u64.xor(b, c), 63)
+    return a, b, c, d
+
+
+# Per-round message gather indices, shape (10, 4) each: x/y operands of the
+# column step then the diagonal step (G_INDICES order).
+_SIG = np.asarray(SIGMA, dtype=np.int32)
+_MX_COL = _SIG[:, 0:8:2]   # m indices feeding `x` of the 4 column G-calls
+_MY_COL = _SIG[:, 1:8:2]
+_MX_DIAG = _SIG[:, 8:16:2]
+_MY_DIAG = _SIG[:, 9:16:2]
+
+
+def _schedule(rounds: int) -> np.ndarray:
+    """(rounds, 4, 4) int32 gather indices: [r, {xcol,ycol,xdiag,ydiag}, lane]."""
+    rs = np.arange(rounds) % 10
+    return np.stack(
+        [_MX_COL[rs], _MY_COL[rs], _MX_DIAG[rs], _MY_DIAG[rs]], axis=1)
+
+
+def blake2f(h, m, t, f, rounds: int = ROUNDS):
+    """EIP-152 compression function F, batched.
+
+    Args:
+      h: (..., 8, 2) uint32 — state words as u64 pairs.
+      m: (..., 16, 2) uint32 — message block words.
+      t: (..., 2, 2) uint32 — 128-bit offset counter (t0, t1) as u64 pairs.
+      f: (...,) bool or uint32 — final-block flag.
+      rounds: static round count (12 for BLAKE2b proper).
+
+    Returns:
+      (..., 8, 2) uint32 — the updated state h'.
+    """
+    import jax
+
+    h = jnp.asarray(h, jnp.uint32)
+    m = jnp.asarray(m, jnp.uint32)
+    t = jnp.asarray(t, jnp.uint32)
+    rounds = int(rounds)
+
+    fmask = jnp.where(jnp.asarray(f, bool), np.uint32(0xFFFFFFFF),
+                      np.uint32(0))[..., None]
+    fmask = jnp.broadcast_to(fmask, h[..., 0, :].shape)
+
+    iv = jnp.asarray(u64.from_ints(list(IV)))            # (8, 2)
+    iv = jnp.broadcast_to(iv, h.shape)
+    v = jnp.concatenate([h, iv], axis=-2)                 # (..., 16, 2)
+    v = v.at[..., 12, :].set(u64.xor(v[..., 12, :], t[..., 0, :]))
+    v = v.at[..., 13, :].set(u64.xor(v[..., 13, :], t[..., 1, :]))
+    v = v.at[..., 14, :].set(u64.xor(v[..., 14, :], fmask))
+
+    if rounds == 0:
+        vv = v
+    else:
+        # Pre-gather the message schedule: (..., rounds, 4, 4, 2).
+        sched = _schedule(rounds)                         # (rounds, 4, 4)
+        msched = jnp.take(m, jnp.asarray(sched.reshape(-1)), axis=-2)
+        msched = msched.reshape(m.shape[:-2] + (rounds, 4, 4, 2))
+        # scan over the round axis (moved to front).
+        msched = jnp.moveaxis(msched, -4, 0)              # (rounds, ..., 4, 4, 2)
+
+        def round_body(v, msr):
+            a, b, c, d = (v[..., 0:4, :], v[..., 4:8, :],
+                          v[..., 8:12, :], v[..., 12:16, :])
+            a, b, c, d = _g_vec(a, b, c, d, msr[..., 0, :, :], msr[..., 1, :, :])
+            # Diagonalize: lanes of the diagonal step are (0,5,10,15) etc.
+            b = jnp.roll(b, -1, axis=-2)
+            c = jnp.roll(c, -2, axis=-2)
+            d = jnp.roll(d, -3, axis=-2)
+            a, b, c, d = _g_vec(a, b, c, d, msr[..., 2, :, :], msr[..., 3, :, :])
+            b = jnp.roll(b, 1, axis=-2)
+            c = jnp.roll(c, 2, axis=-2)
+            d = jnp.roll(d, 3, axis=-2)
+            return jnp.concatenate([a, b, c, d], axis=-2), None
+
+        vv, _ = jax.lax.scan(round_body, v, msched)
+
+    return u64.xor(u64.xor(h, vv[..., 0:8, :]), vv[..., 8:16, :])
+
+
+# ---------------------------------------------------------------------------
+# Python reference (test oracle; also drives the full hash below)
+# ---------------------------------------------------------------------------
+
+def _rotr64(x: int, n: int) -> int:
+    return ((x >> n) | (x << (64 - n))) & MASK64
+
+
+def _g_py(v, a, b, c, d, x, y):
+    v[a] = (v[a] + v[b] + x) & MASK64
+    v[d] = _rotr64(v[d] ^ v[a], 32)
+    v[c] = (v[c] + v[d]) & MASK64
+    v[b] = _rotr64(v[b] ^ v[c], 24)
+    v[a] = (v[a] + v[b] + y) & MASK64
+    v[d] = _rotr64(v[d] ^ v[a], 16)
+    v[c] = (v[c] + v[d]) & MASK64
+    v[b] = _rotr64(v[b] ^ v[c], 63)
+
+
+def blake2f_py(h, m, t, f: bool, rounds: int = ROUNDS):
+    """Python-int reference for F. h: list[8], m: list[16], t: (t0, t1)."""
+    h = [x & MASK64 for x in h]
+    v = h + list(IV)
+    v[12] ^= t[0] & MASK64
+    v[13] ^= t[1] & MASK64
+    if f:
+        v[14] ^= MASK64
+    for r in range(rounds):
+        s = SIGMA[r % 10]
+        for gi, (a, b, c, d) in enumerate(G_INDICES):
+            _g_py(v, a, b, c, d, m[s[2 * gi]], m[s[2 * gi + 1]])
+    return [h[i] ^ v[i] ^ v[i + 8] for i in range(8)]
+
+
+def blake2b_py(data: bytes, digest_size: int = 64) -> bytes:
+    """Full (unkeyed) BLAKE2b built on blake2f_py — validates F against
+    `hashlib.blake2b` end to end (RFC 7693 §3.3)."""
+    h = list(IV)
+    h[0] ^= 0x01010000 ^ digest_size
+    blocks = [data[i:i + 128] for i in range(0, len(data), 128)] or [b""]
+    t = 0
+    for i, block in enumerate(blocks):
+        last = i == len(blocks) - 1
+        t += len(block)
+        padded = block + b"\x00" * (128 - len(block))
+        m = [int.from_bytes(padded[j * 8:(j + 1) * 8], "little")
+             for j in range(16)]
+        h = blake2f_py(h, m, (t, 0), last)
+    out = b"".join(x.to_bytes(8, "little") for x in h)
+    return out[:digest_size]
+
+
+# The EIP-152 test vector 5 inputs (= blake2b-512("abc") final compression),
+# mirroring the reference's fixture at blake2f-circuit/src/blake2f.rs:195-246.
+EIP152_VECTOR = dict(
+    rounds=12,
+    h=(0x6A09E667F2BDC948, 0xBB67AE8584CAA73B, 0x3C6EF372FE94F82B,
+       0xA54FF53A5F1D36F1, 0x510E527FADE682D1, 0x9B05688C2B3E6C1F,
+       0x1F83D9ABFB41BD6B, 0x5BE0CD19137E2179),
+    m=(0x0000000000636261,) + (0,) * 15,
+    t=(3, 0),
+    f=True,
+    expected=(
+        "ba80a53f981c4d0d6a2797b69f12f6e94c212f14685ac4b74b12bb6fdbffa2d1"
+        "7d87c5392aab792dc252d5de4533cc9518d38aa8dbf1925ab92386edd4009923"),
+)
