@@ -1,0 +1,228 @@
+"""Limb-vectorized prime-field arithmetic in JAX (TPU-native).
+
+This is the device-side equivalent of the reference's Rust field backends
+(`pasta_curves` Fp / PSE `halo2curves` BN254 Fr/Fq — SURVEY.md §2.3 N6),
+re-designed for 32-bit vector lanes:
+
+* A field element is a little-endian array of **16 limbs × 16 bits**, stored
+  as ``uint32`` with shape ``(..., 16)``; all ops are elementwise over the
+  leading axes so a "field op" is really a whole batch of them (columns of a
+  circuit, a full NTT domain, every point coordinate of an MSM window).
+* Elements are kept in **Montgomery form** (R = 2^256) on device; conversion
+  happens host-side in :func:`Field.from_ints` / :func:`Field.to_ints`.
+* Multiplication = 16×16 schoolbook partial products (each < 2^32, exact in
+  uint32) split lo/hi and accumulated into redundant < 2^22 columns, then a
+  16-step Montgomery reduction — no 64-bit integers anywhere, which is what
+  makes this fast on TPU (and later a clean int8-MXU Pallas kernel).
+* Limb loops are unrolled at trace time (static length 16); exponentiation
+  runs under ``lax.scan`` over a static bit schedule so graphs stay small.
+
+Correctness oracle: :mod:`.pyfield` (plain Python ints); see
+tests/test_field.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import pyfield
+
+L = 16          # limbs per element
+LB = 16         # bits per limb
+LIMB_MASK = np.uint32(0xFFFF)
+R_BITS = L * LB  # 256
+
+
+def int_to_limbs(x: int) -> np.ndarray:
+    return np.array([(x >> (LB * i)) & 0xFFFF for i in range(L)],
+                    dtype=np.uint32)
+
+
+def limbs_to_int(limbs) -> int:
+    limbs = np.asarray(limbs)
+    return sum(int(limbs[..., i]) << (LB * i) for i in range(L))
+
+
+class Field:
+    """Static per-modulus configuration + JAX ops (Montgomery form)."""
+
+    def __init__(self, p: int, name: str = "field"):
+        self.p = p
+        self.name = name
+        self.py = pyfield.PF(p, name)
+        self.r = (1 << R_BITS) % p
+        self.r2 = (self.r * self.r) % p
+        # -p^{-1} mod 2^16 (per-limb Montgomery factor)
+        self.pinv16 = np.uint32((-pow(p, -1, 1 << LB)) % (1 << LB))
+        self.P = int_to_limbs(p)
+        self.ONE = int_to_limbs(self.r)         # 1 in Montgomery form
+        self.ZERO = np.zeros(L, np.uint32)
+        self.R2 = int_to_limbs(self.r2)
+
+    # ------------------------------------------------------------------
+    # host <-> device representation
+    # ------------------------------------------------------------------
+    def from_ints(self, xs) -> np.ndarray:
+        """Python ints -> (..., 16) uint32 Montgomery limbs (host-side)."""
+        arr = np.asarray(xs, dtype=object)
+        flat = [(int(x) % self.p) * self.r % self.p for x in arr.ravel()]
+        out = np.empty((len(flat), L), np.uint32)
+        for i, v in enumerate(flat):
+            out[i] = int_to_limbs(v)
+        return out.reshape(arr.shape + (L,))
+
+    def from_int(self, x: int) -> np.ndarray:
+        return self.from_ints(np.asarray(x, dtype=object))
+
+    def to_ints(self, limbs) -> np.ndarray:
+        """(..., 16) Montgomery limbs -> object ndarray of Python ints."""
+        limbs = np.asarray(limbs)
+        shape = limbs.shape[:-1]
+        rinv = pow(self.r, -1, self.p)
+        flat = limbs.reshape(-1, L)
+        out = np.empty(flat.shape[0], dtype=object)
+        for i in range(flat.shape[0]):
+            out[i] = limbs_to_int(flat[i]) * rinv % self.p
+        return out.reshape(shape)
+
+    def to_int(self, limbs) -> int:
+        return int(self.to_ints(np.asarray(limbs)[None])[0])
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+    def _carry16(self, t):
+        """Propagate carries so every limb < 2^16. Input limbs < 2^32."""
+        n = t.shape[-1]
+        out = []
+        carry = jnp.zeros(t.shape[:-1], jnp.uint32)
+        for k in range(n):
+            v = t[..., k] + carry
+            out.append(v & LIMB_MASK)
+            carry = v >> LB
+        return jnp.stack(out, axis=-1), carry
+
+    def _sub_borrow(self, a, b):
+        """a - b limbwise (both normalized); returns (diff, borrow∈{0,1})."""
+        diff = []
+        borrow = jnp.zeros(a.shape[:-1], jnp.uint32)
+        for k in range(L):
+            d = a[..., k] - b[..., k] - borrow
+            diff.append(d & LIMB_MASK)
+            borrow = d >> np.uint32(31)
+        return jnp.stack(diff, axis=-1), borrow
+
+    def _cond_sub_p(self, a):
+        """a - p if a >= p else a (a normalized, a < 2p)."""
+        pb = jnp.asarray(self.P)
+        d, borrow = self._sub_borrow(a, jnp.broadcast_to(pb, a.shape))
+        return jnp.where((borrow == 0)[..., None], d, a)
+
+    def select(self, cond, x, y):
+        return jnp.where(jnp.asarray(cond)[..., None], x, y)
+
+    # ------------------------------------------------------------------
+    # ring ops (Montgomery form in, Montgomery form out)
+    # ------------------------------------------------------------------
+    def add(self, a, b):
+        s = a + b                      # limbs < 2^17
+        s, _ = self._carry16(s)
+        return self._cond_sub_p(s)
+
+    def sub(self, a, b):
+        d, borrow = self._sub_borrow(a, b)
+        # if borrowed, add p back (no further carry out of limb 15 matters)
+        dp = d + jnp.asarray(self.P)
+        dp, _ = self._carry16(dp)
+        return jnp.where((borrow == 1)[..., None], dp, d)
+
+    def neg(self, a):
+        z = jnp.zeros_like(a)
+        return self.sub(z, a)
+
+    def double(self, a):
+        return self.add(a, a)
+
+    def mul(self, a, b):
+        """Montgomery product ab·R^{-1} mod p, batched elementwise."""
+        # partial products: (..., L, L) uint32, exact (operands < 2^16)
+        pp = a[..., :, None] * b[..., None, :]
+        lo = pp & LIMB_MASK
+        hi = pp >> LB
+        t = jnp.zeros(a.shape[:-1] + (2 * L + 1,), jnp.uint32)
+        for i in range(L):
+            t = t.at[..., i:i + L].add(lo[..., i, :])
+            t = t.at[..., i + 1:i + L + 1].add(hi[..., i, :])
+        # columns now < 2^21; interleaved Montgomery reduction
+        pj = jnp.asarray(self.P)  # (L,)
+        for i in range(L):
+            v = t[..., i]
+            carry = v >> LB
+            ti = v & LIMB_MASK
+            m = (ti * self.pinv16) & LIMB_MASK          # (...,)
+            mp = m[..., None] * pj                       # (..., L) < 2^32
+            t = t.at[..., i].set(ti)
+            t = t.at[..., i:i + L].add(mp & LIMB_MASK)
+            t = t.at[..., i + 1:i + L + 1].add(mp >> LB)
+            t = t.at[..., i + 1].add(carry)
+            # t[..., i] = ti + lo(m*p0) ≡ 0 (mod 2^16), < 2^17: push carry.
+            t = t.at[..., i + 1].add(t[..., i] >> LB)
+        r = t[..., L:2 * L + 1]
+        r, _ = self._carry16(r)
+        # result < 2p fits in 16 limbs; limb 16 must be zero after carries
+        return self._cond_sub_p(r[..., :L])
+
+    def square(self, a):
+        return self.mul(a, a)
+
+    def mul_const(self, a, c: int):
+        """Multiply by a static Python-int constant (c in normal form)."""
+        cm = jnp.asarray(self.from_int(c))
+        return self.mul(a, jnp.broadcast_to(cm, a.shape))
+
+    # ------------------------------------------------------------------
+    # exponentiation / inversion
+    # ------------------------------------------------------------------
+    def pow_static(self, a, e: int):
+        """a^e for a static nonnegative Python-int exponent (lax.scan)."""
+        if e == 0:
+            return jnp.broadcast_to(jnp.asarray(self.ONE), a.shape)
+        bits = np.array([(e >> i) & 1 for i in range(e.bit_length())][::-1],
+                        dtype=np.uint32)  # MSB first
+
+        def body(acc, bit):
+            acc = self.mul(acc, acc)
+            acc_m = self.mul(acc, a)
+            return jnp.where(bit == 1, acc_m, acc), None
+
+        # first bit is always 1: start from a to save one square+mul
+        acc0 = a
+        out, _ = jax.lax.scan(body, acc0, jnp.asarray(bits[1:]))
+        return out
+
+    def inv(self, a):
+        """Batched inverse via Fermat (a^(p-2)); maps 0 -> 0."""
+        return self.pow_static(a, self.p - 2)
+
+    # ------------------------------------------------------------------
+    # predicates
+    # ------------------------------------------------------------------
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=-1)
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=-1)
+
+    def zeros(self, shape):
+        return jnp.zeros(tuple(shape) + (L,), jnp.uint32)
+
+    def ones(self, shape):
+        return jnp.broadcast_to(jnp.asarray(self.ONE), tuple(shape) + (L,))
+
+
+FR = Field(pyfield.BN254_FR, "bn254_fr")
+FQ = Field(pyfield.BN254_FQ, "bn254_fq")
