@@ -53,6 +53,7 @@ class Field:
     def __init__(self, p: int, name: str = "field"):
         self.p = p
         self.name = name
+        self._key = (name, p)
         self.py = pyfield.PF(p, name)
         self.r = (1 << R_BITS) % p
         self.r2 = (self.r * self.r) % p
@@ -62,6 +63,16 @@ class Field:
         self.ONE = int_to_limbs(self.r)         # 1 in Montgomery form
         self.ZERO = np.zeros(L, np.uint32)
         self.R2 = int_to_limbs(self.r2)
+
+    # hashable/static so Field can be a `jit` static argument
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, Field) and self._key == other._key
+
+    def __repr__(self):
+        return f"Field({self.name})"
 
     # ------------------------------------------------------------------
     # host <-> device representation
@@ -147,33 +158,52 @@ class Field:
     def double(self, a):
         return self.add(a, a)
 
+    @staticmethod
+    def _skew_sum(rows, shift0: int):
+        """Σ_i shift(rows[..., i, :], i + shift0) — anti-diagonal column sums
+        of an (..., L, L) partial-product matrix, via the pad/reshape skew
+        trick (no scatter ops: XLA compiles this in milliseconds where a
+        64-deep dynamic-update-slice chain took minutes).
+
+        Returns (..., 2L+1) with entries < L * max(rows) (< 2^20 here)."""
+        W = 2 * L + 2
+        lead = rows.shape[:-2]
+        z = jnp.zeros(lead + (L, shift0), jnp.uint32)
+        padded = jnp.concatenate(
+            [z, rows, jnp.zeros(lead + (L, W - L - shift0), jnp.uint32)],
+            axis=-1)                                     # (..., L, W)
+        flat = padded.reshape(lead + (L * W,))
+        flat = flat[..., : L * (W - 1)]
+        return flat.reshape(lead + (L, W - 1)).sum(axis=-2)  # (..., 2L+1)
+
     def mul(self, a, b):
         """Montgomery product ab·R^{-1} mod p, batched elementwise."""
         # partial products: (..., L, L) uint32, exact (operands < 2^16)
         pp = a[..., :, None] * b[..., None, :]
-        lo = pp & LIMB_MASK
-        hi = pp >> LB
-        t = jnp.zeros(a.shape[:-1] + (2 * L + 1,), jnp.uint32)
-        for i in range(L):
-            t = t.at[..., i:i + L].add(lo[..., i, :])
-            t = t.at[..., i + 1:i + L + 1].add(hi[..., i, :])
-        # columns now < 2^21; interleaved Montgomery reduction
+        # column sums t[k] = Σ_{i+j=k} lo + Σ_{i+j=k-1} hi, each < 2^21
+        t = self._skew_sum(pp & LIMB_MASK, 0) + self._skew_sum(pp >> LB, 1)
+        # Montgomery reduction: 16 sequential limb eliminations under scan.
+        # Invariant: current limb-to-kill sits at t[..., 0]; each step adds
+        # m·p, pushes carries, and shifts the window left by one limb.
         pj = jnp.asarray(self.P)  # (L,)
-        for i in range(L):
-            v = t[..., i]
+
+        def body(t, _):
+            v = t[..., 0]
             carry = v >> LB
             ti = v & LIMB_MASK
-            m = (ti * self.pinv16) & LIMB_MASK          # (...,)
-            mp = m[..., None] * pj                       # (..., L) < 2^32
-            t = t.at[..., i].set(ti)
-            t = t.at[..., i:i + L].add(mp & LIMB_MASK)
-            t = t.at[..., i + 1:i + L + 1].add(mp >> LB)
-            t = t.at[..., i + 1].add(carry)
-            # t[..., i] = ti + lo(m*p0) ≡ 0 (mod 2^16), < 2^17: push carry.
-            t = t.at[..., i + 1].add(t[..., i] >> LB)
-        r = t[..., L:2 * L + 1]
-        r, _ = self._carry16(r)
-        # result < 2p fits in 16 limbs; limb 16 must be zero after carries
+            m = (ti * self.pinv16) & LIMB_MASK           # (...,)
+            mp = m[..., None] * pj                        # (..., L) < 2^32
+            t = t.at[..., 0].set(ti)
+            t = t.at[..., 0:L].add(mp & LIMB_MASK)
+            t = t.at[..., 1:L + 1].add(mp >> LB)
+            # t[..., 0] = ti + lo(m·p0) ≡ 0 (mod 2^16); push its carry too.
+            t = t.at[..., 1].add(carry + (t[..., 0] >> LB))
+            return jnp.concatenate(
+                [t[..., 1:], jnp.zeros_like(t[..., :1])], axis=-1), None
+
+        t, _ = jax.lax.scan(body, t, None, length=L)
+        r, _ = self._carry16(t[..., : L + 1])
+        # result < 2p fits in 16 limbs; limb 16 is zero after carries
         return self._cond_sub_p(r[..., :L])
 
     def square(self, a):
