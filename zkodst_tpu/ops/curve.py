@@ -71,58 +71,65 @@ def to_affine_ints(pts):
     return out
 
 
+def _stack_mul(lhs, rhs):
+    """One field-mul instantiation for a layer of independent products.
+
+    The field mul contains a lax.scan; instantiating it once per *layer*
+    instead of once per product keeps the XLA graph (and compile time) ~6x
+    smaller per EC op — jit(add) compile dropped from 37s to seconds."""
+    a = jnp.stack(lhs, axis=-2)
+    b = jnp.stack(rhs, axis=-2)
+    out = F.mul(a, b)
+    return [out[..., i, :] for i in range(len(lhs))]
+
+
 @jax.jit
 def add(p, q):
     """Complete projective addition (RCB16 Alg. 7, a=0, b3=9).
 
     p, q: (..., 3, 16) uint32; returns p+q with identical shape. Correct for
-    every input combination including doubling and the identity."""
+    every input combination including doubling and the identity. Products
+    are grouped into two stacked layers (see _stack_mul)."""
     x1, y1, z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
     x2, y2, z2 = q[..., 0, :], q[..., 1, :], q[..., 2, :]
 
-    t0 = F.mul(x1, x2)
-    t1 = F.mul(y1, y2)
-    t2 = F.mul(z1, z2)
-    t3 = F.mul(F.add(x1, y1), F.add(x2, y2))
-    t3 = F.sub(t3, F.add(t0, t1))                       # x1y2 + x2y1
-    t4 = F.mul(F.add(y1, z1), F.add(y2, z2))
-    t4 = F.sub(t4, F.add(t1, t2))                       # y1z2 + y2z1
-    x3 = F.mul(F.add(x1, z1), F.add(x2, z2))
-    y3 = F.sub(x3, F.add(t0, t2))                       # x1z2 + x2z1
-    x3 = F.add(t0, t0)
-    t0 = F.add(x3, t0)                                   # 3*x1x2
-    t2 = _mul9(t2)                                       # b3 * z1z2
-    z3 = F.add(t1, t2)
-    t1 = F.sub(t1, t2)
-    y3 = _mul9(y3)                                       # b3 * (x1z2+x2z1)
-    x3 = F.sub(F.mul(t3, t1), F.mul(t4, y3))
-    y3 = F.add(F.mul(y3, t0), F.mul(t1, z3))
-    z3 = F.add(F.mul(z3, t4), F.mul(t0, t3))
-    return jnp.stack([x3, y3, z3], axis=-2)
+    t0, t1, t2, u1, u2, u3 = _stack_mul(
+        [x1, y1, z1, F.add(x1, y1), F.add(y1, z1), F.add(x1, z1)],
+        [x2, y2, z2, F.add(x2, y2), F.add(y2, z2), F.add(x2, z2)])
+    t3 = F.sub(u1, F.add(t0, t1))                       # x1y2 + x2y1
+    t4 = F.sub(u2, F.add(t1, t2))                       # y1z2 + y2z1
+    w3 = F.sub(u3, F.add(t0, t2))                       # x1z2 + x2z1
+    t0_3 = F.add(F.add(t0, t0), t0)                     # 3*x1x2
+    t2_9 = _mul9(t2)                                     # b3 * z1z2
+    z3 = F.add(t1, t2_9)
+    t1m = F.sub(t1, t2_9)
+    y3 = _mul9(w3)                                       # b3 * (x1z2+x2z1)
+    a, b, c, d, e, f = _stack_mul(
+        [t3, t4, y3, t1m, z3, t0_3],
+        [t1m, y3, t0_3, z3, t4, t3])
+    return jnp.stack(
+        [F.sub(a, b), F.add(c, d), F.add(e, f)], axis=-2)
 
 
 @jax.jit
 def double(p):
-    """Complete projective doubling (RCB16 Alg. 9, a=0, b3=9)."""
+    """Complete projective doubling (RCB16 Alg. 9, a=0, b3=9), products
+    grouped into three stacked layers."""
     x, y, z = p[..., 0, :], p[..., 1, :], p[..., 2, :]
-    t0 = F.mul(y, y)
+    t0, t1, xy, t2 = _stack_mul([y, y, x, z], [y, z, y, z])
     z3 = F.add(t0, t0)
     z3 = F.add(z3, z3)
     z3 = F.add(z3, z3)                                   # 8y^2
-    t1 = F.mul(y, z)
-    t2 = F.mul(z, z)
     t2 = _mul9(t2)                                       # b3 z^2
-    x3 = F.mul(t2, z3)
+    x3, z3o = _stack_mul([t2, t1], [z3, z3])
     y3 = F.add(t0, t2)
-    z3 = F.mul(t1, z3)
-    t1 = F.add(t2, t2)
-    t2 = F.add(t1, t2)                                   # 3 b3 z^2
-    t0 = F.sub(t0, t2)
-    y3 = F.add(F.mul(t0, y3), x3)
-    t1 = F.mul(x, y)
-    x3 = F.mul(t0, t1)
-    x3 = F.add(x3, x3)
-    return jnp.stack([x3, y3, z3], axis=-2)
+    t1b = F.add(t2, t2)
+    t2b = F.add(t1b, t2)                                 # 3 b3 z^2
+    t0 = F.sub(t0, t2b)
+    ya, xa = _stack_mul([t0, t0], [y3, xy])
+    y3 = F.add(ya, x3)
+    x3 = F.add(xa, xa)
+    return jnp.stack([x3, y3, z3o], axis=-2)
 
 
 @jax.jit

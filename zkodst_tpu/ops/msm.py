@@ -1,0 +1,145 @@
+"""Multi-scalar multiplication (Pippenger) on TPU.
+
+Replaces halo2's `best_multiexp` (SURVEY.md §2.3 N8) — the commitment-side
+hot loop of the prover. The classic bucket method is irregular
+(scatter/accumulate); the TPU-native reformulation used here is fully
+vectorized and branchless:
+
+  per window:  sort (digit, index)  ->  gather points into digit order
+               -> segmented inclusive scan (complete EC adds, log2 N depth)
+               -> bucket sums at segment boundaries (unique-index scatter)
+               -> Σ d·B_d via suffix-sum scans (log2 2^c depth)
+  combine:     Horner over windows (c doublings + 1 add each)
+
+Windows are processed under `lax.scan` so peak memory is one gathered copy
+of the points (N×192 B), and the whole MSM is one compiled program. The
+segmented scan uses `jax.lax.associative_scan` with the complete-addition
+operator from ops/curve.py, so identity/doubling edge cases need no code.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import curve
+from .field import FR
+
+SCALAR_BITS = 254
+
+
+def _digits(scalar_limbs, c: int, nwin: int):
+    """(N, 16) uint32 16-bit limbs -> (nwin, N) uint32 c-bit digits."""
+    N = scalar_limbs.shape[0]
+    outs = []
+    for w in range(nwin):
+        bit = w * c
+        limb, off = bit // 16, bit % 16
+        lo = scalar_limbs[:, limb] >> off
+        if off + c > 16 and limb + 1 < 16:
+            lo = lo | (scalar_limbs[:, limb + 1] << (16 - off))
+        outs.append(lo & np.uint32((1 << c) - 1))
+    return jnp.stack(outs)
+
+
+def _seg_scan_points(pts, starts):
+    """Segmented inclusive prefix "sum" (EC add) along axis 0.
+
+    Hillis–Steele with the stride as a *traced* scan element, so the
+    complete-addition graph is instantiated exactly once (jax.lax.
+    associative_scan would clone it log2(N)·2 times and XLA compile time
+    explodes — measured minutes at N=2^17).
+
+    pts: (N, 3, 16); starts: (N,) bool segment-start flags."""
+    N = pts.shape[0]
+    steps = max(1, (N - 1).bit_length())
+    strides = jnp.asarray([1 << s for s in range(steps)], jnp.int32)
+    ids = jnp.arange(N, dtype=jnp.int32)
+    ident = jnp.broadcast_to(curve.identity(), pts.shape)
+
+    def body(carry, stride):
+        v, f = carry
+        v_prev = jnp.roll(v, stride, axis=0)
+        f_prev = jnp.roll(f, stride, axis=0)
+        oob = ids < stride                      # rolled-in garbage
+        v_prev = jnp.where(oob[..., None, None], ident, v_prev)
+        f_prev = jnp.logical_or(f_prev, oob)
+        v_new = jnp.where(f[..., None, None], v, curve.add(v_prev, v))
+        f_new = jnp.logical_or(f, f_prev)
+        return (v_new, f_new), None
+
+    (v, _), _ = jax.lax.scan(body, (pts, starts), strides)
+    return v
+
+
+def _segmented_bucket_sums(keys, pts, c: int):
+    """Bucket sums for one window.
+
+    keys: (N,) uint32 digits sorted ascending; pts: (N, 3, 16) points in the
+    same order. Returns (2^c, 3, 16) bucket sums (identity where empty)."""
+    starts = jnp.concatenate(
+        [jnp.ones((1,), bool), keys[1:] != keys[:-1]])
+    ends = jnp.concatenate([keys[1:] != keys[:-1], jnp.ones((1,), bool)])
+    scanned = _seg_scan_points(pts, starts)
+    # scatter segment totals to their digit (unique indices; digit 0 included
+    # but later given weight 0). Out-of-range dump slot for non-ends.
+    nb = 1 << c
+    idx = jnp.where(ends, keys, nb)
+    buckets = jnp.broadcast_to(curve.identity(), (nb + 1, 3, 16))
+    buckets = buckets.at[idx].set(scanned, mode="drop")
+    return buckets[:nb]
+
+
+def _weighted_bucket_total(buckets):
+    """Σ_{d>=1} d * B_d via suffix sums: S_j = Σ_{d>=j} B_d; total = Σ_{j>=1} S_j."""
+    nb = buckets.shape[0]
+    first = jnp.zeros((nb,), bool).at[0].set(True)
+    suffix = _seg_scan_points(buckets[::-1], first)[::-1]  # S_j at j
+    # drop j=0 (weight 0) and sum the rest: last of an unsegmented scan
+    total = _seg_scan_points(suffix[1:], first[: nb - 1])[-1]
+    return total
+
+
+@partial(jax.jit, static_argnums=(2,))
+def msm(points, scalar_limbs, c: int = 8):
+    """Σ_i scalar_i · P_i.
+
+    Args:
+      points: (N, 3, 16) uint32 projective G1 points (Fq Montgomery limbs).
+      scalar_limbs: (N, 16) uint32 — scalars as 16-bit limbs in NORMAL
+        (non-Montgomery) form.
+      c: window bits (must divide into the 16-bit limb grid: 4, 8 or 16).
+
+    Returns (3, 16) projective sum."""
+    assert c in (4, 8, 16)
+    nwin = (SCALAR_BITS + c - 1) // c
+    digs = _digits(scalar_limbs, c, nwin)               # (nwin, N)
+
+    def window_body(_, keys):
+        skeys, sidx = jax.lax.sort(
+            (keys, jnp.arange(keys.shape[0], dtype=jnp.uint32)), num_keys=1)
+        pts = jnp.take(points, sidx, axis=0)
+        buckets = _segmented_bucket_sums(skeys, pts, c)
+        return None, _weighted_bucket_total(buckets)
+
+    _, win_sums = jax.lax.scan(window_body, None, digs)   # (nwin, 3, 16)
+
+    # Horner over windows, MSB first: acc = 2^c * acc + S_w
+    def combine(acc, s):
+        for _ in range(c):
+            acc = curve.double(acc)
+        return curve.add(acc, s), None
+
+    acc0 = win_sums[-1]
+    acc, _ = jax.lax.scan(combine, acc0, win_sums[:-1][::-1])
+    return acc
+
+
+def msm_mont(points, fr_mont_scalars, c: int = 8):
+    """MSM with scalars given as Fr Montgomery limb arrays (converts first)."""
+    one_raw = jnp.zeros_like(fr_mont_scalars).at[..., 0].set(1)
+    normal = FR.mul(fr_mont_scalars, one_raw)   # Montgomery mul by raw 1
+    return msm(points, normal, c)
