@@ -151,7 +151,7 @@ class Field:
 
         a, b normalized 16-bit limbs; no_borrow==1 iff a >= b; diff is the
         low-2^(16n) result (exact when a >= b)."""
-        s = a + (LIMB_MASK - b)
+        s = jnp.asarray(a + (LIMB_MASK - b))
         s = s.at[..., 0].add(1)            # a + ~b + 1, limbs < 2^17
         r, carry_out = self._ks_carry(s)
         return r, carry_out
