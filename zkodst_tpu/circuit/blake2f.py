@@ -285,14 +285,13 @@ class _Layout:
 # Numeric backend (pure JAX, batched over the leading axis)
 # ---------------------------------------------------------------------------
 
-def _spr4(dense4):
-    return spread16(dense4)
-
-
 def _full(word):
-    """(..., 2) u64 pair -> WordH with dense (...,4) + spread (...,4)."""
-    dense = u64.to_limbs16(word)
-    return WordH(word=word, dense=dense, spread=_spr4(dense))
+    """(..., 2) u64 pair -> WordH with dense/spread as 4-limb LISTS of (...)
+    arrays — matching the layout backend's list-of-cells shape so the
+    schedule can index limbs identically on both backends."""
+    l4 = u64.to_limbs16(word)
+    dense = [l4[..., i] for i in range(4)]
+    return WordH(word=word, dense=dense, spread=[spread16(d) for d in dense])
 
 
 class _Numeric:
@@ -334,39 +333,42 @@ class _Numeric:
     def dec(self, wh: WordH) -> WordH:
         full = _full(wh.word)
         for i in range(4):
-            self._push32(full.dense[..., i])
-            self._push32(full.spread[..., i])
+            self._push32(full.dense[i])
+            self._push32(full.spread[i])
         return full
 
     def add(self, u: WordH, v: WordH, x: Optional[WordH]) -> WordH:
-        zero = jnp.zeros_like(u.dense)
-        xl = x.dense if x is not None else zero
-        s = u.dense + v.dense + xl                    # (...,4) < 3·2^16
-        limbs, carry = [], jnp.zeros_like(s[..., 0])
+        dense, carry = [], None
         for i in range(4):
-            ti = s[..., i] + carry
-            limbs.append(ti & _M16)
+            ti = u.dense[i] + v.dense[i]              # < 3·2^16: exact u32
+            if x is not None:
+                ti = ti + x.dense[i]
+            if carry is not None:
+                ti = ti + carry
+            dense.append(ti & _M16)
             carry = ti >> np.uint32(16)
-        dense = jnp.stack(limbs, axis=-1)
         self._push32(carry)
-        spread = _spr4(dense)
+        spread = [spread16(d) for d in dense]
         for i in range(4):
-            self._push32(dense[..., i])
-            self._push32(spread[..., i])
-        word = u64.from_limbs16(dense)
+            self._push32(dense[i])
+            self._push32(spread[i])
+        word = u64.from_limbs16(jnp.stack(dense, axis=-1))
         self._push64(word)
         return WordH(word=word, dense=dense, spread=spread)
 
     def xor(self, u: WordH, v: WordH) -> WordH:
-        even = u.dense ^ v.dense
-        odd = u.dense & v.dense
-        se, so = _spr4(even), _spr4(odd)
+        dense, spread = [], []
         for i in range(4):
-            self._push32(odd[..., i])
-            self._push32(so[..., i])
-            self._push32(even[..., i])
-            self._push32(se[..., i])
-        return WordH(word=u64.from_limbs16(even), dense=even, spread=se)
+            odd = u.dense[i] & v.dense[i]
+            even = u.dense[i] ^ v.dense[i]
+            se = spread16(even)
+            self._push32(odd)
+            self._push32(spread16(odd))
+            self._push32(even)
+            self._push32(se)
+            dense.append(even)
+            spread.append(se)
+        return WordH(word=None, dense=dense, spread=spread)
 
     def rcp(self, pieces: Sequence, coeffs: Sequence[int]) -> WordH:
         acc = None
@@ -379,7 +381,7 @@ class _Numeric:
         return _full(acc)
 
     def s88(self, wh: WordH, i: int):
-        vv = wh.dense[..., i]
+        vv = wh.dense[i]
         lo, hi = vv & np.uint32(0xFF), vv >> np.uint32(8)
         self._push32(lo)
         self._push32(spread16(lo))
@@ -388,7 +390,7 @@ class _Numeric:
         return lo, hi
 
     def s115(self, wh: WordH, i: int):
-        vv = wh.dense[..., i]
+        vv = wh.dense[i]
         lo, bit = vv & np.uint32(0x7FFF), vv >> np.uint32(15)
         self._push32(lo)
         self._push32(spread16(lo))
@@ -396,18 +398,18 @@ class _Numeric:
         return lo, bit
 
     def v14(self, f) -> WordH:
-        iv6 = np.array(_limbs16_int(IV[6]), np.uint32)
-        dense = iv6 ^ (f[..., None] * _M16)
-        spread = _spr4(dense)
+        iv6 = _limbs16_int(IV[6])
+        dense = [np.uint32(iv6[i]) ^ (f * _M16) for i in range(4)]
+        spread = [spread16(d) for d in dense]
         for i in range(4):
-            self._push32(spread[..., i])
-        return WordH(word=u64.from_limbs16(dense), dense=dense, spread=spread)
+            self._push32(spread[i])
+        return WordH(word=None, dense=dense, spread=spread)
 
     # -- pure helpers --
     def relabel(self, e: WordH, o: int) -> WordH:
-        dense = jnp.roll(e.dense, -o, axis=-1)
-        return WordH(word=u64.from_limbs16(dense), dense=dense,
-                     spread=jnp.roll(e.spread, -o, axis=-1))
+        return WordH(word=None,
+                     dense=[e.dense[(i + o) % 4] for i in range(4)],
+                     spread=[e.spread[(i + o) % 4] for i in range(4)])
 
     def const_word(self, value: int) -> WordH:
         w = jnp.asarray(u64.from_int(value))

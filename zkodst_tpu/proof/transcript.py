@@ -1,0 +1,139 @@
+"""Fiat–Shamir transcript: Blake2b write/read pair.
+
+Host-side equivalent of halo2's `Blake2bWrite`/`Blake2bRead` +
+`Challenge255` (used by the reference's bench harness,
+/root/reference/benchmarking/src/blake2f_circuit_bench.rs:12-14,56,85;
+SURVEY.md §2.3 N12). Follows halo2 0.3 `transcript.rs` semantics:
+
+* Blake2b-512 with personalization ``b"Halo2-Transcript"``.
+* Domain prefixes: 0 = challenge squeeze, 1 = point, 2 = scalar.
+* Points absorbed in 32-byte compressed form (LE x, y-parity in bit 255;
+  identity = all zeros). Scalars absorbed as 32-byte LE.
+* ``squeeze_challenge``: absorb prefix 0, clone-finalize to 64 bytes,
+  reduce the 512-bit LE integer mod r (Challenge255 semantics). The
+  running state keeps only the prefix byte.
+
+The transcript runs between device compute phases; all values crossing it
+are tiny (48-byte points / 32-byte scalars).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from ..ops import pycurve
+from ..ops.pyfield import FQ, FR
+
+PERSON = b"Halo2-Transcript"
+PREFIX_CHALLENGE = b"\x00"
+PREFIX_POINT = b"\x01"
+PREFIX_SCALAR = b"\x02"
+
+
+def compress_g1(pt) -> bytes:
+    """Affine (x, y) int tuple or None -> 32 bytes (LE x, y-parity bit 255)."""
+    if pt is None:
+        return bytes(32)
+    x, y = pt
+    b = bytearray(int(x).to_bytes(32, "little"))
+    assert b[31] & 0xC0 == 0, "x exceeds 254 bits"
+    if y & 1:
+        b[31] |= 0x80
+    return bytes(b)
+
+
+def decompress_g1(data: bytes):
+    """Inverse of compress_g1; validates the point is on the curve."""
+    assert len(data) == 32
+    if data == bytes(32):
+        return None
+    b = bytearray(data)
+    ysign = (b[31] >> 7) & 1
+    b[31] &= 0x3F
+    x = int.from_bytes(bytes(b), "little")
+    assert x < FQ.p, "x out of range"
+    y = FQ.sqrt((x * x % FQ.p) * x % FQ.p + pycurve.B1)
+    assert y is not None, "not on curve"
+    if (y & 1) != ysign:
+        y = FQ.p - y
+    assert pycurve.G1.is_on_curve((x, y))
+    return (x, y)
+
+
+class Blake2bWrite:
+    """Prover-side transcript: absorbs proof elements, emits proof bytes."""
+
+    def __init__(self):
+        self._h = hashlib.blake2b(digest_size=64, person=PERSON)
+        self._proof = bytearray()
+
+    # -- absorb without writing to the proof (public inputs / vk hash) -----
+    def common_point(self, pt) -> None:
+        self._h.update(PREFIX_POINT)
+        self._h.update(compress_g1(pt))
+
+    def common_scalar(self, v: int) -> None:
+        self._h.update(PREFIX_SCALAR)
+        self._h.update((int(v) % FR.p).to_bytes(32, "little"))
+
+    # -- absorb and append to the proof -------------------------------------
+    def write_point(self, pt) -> None:
+        self.common_point(pt)
+        self._proof += compress_g1(pt)
+
+    def write_scalar(self, v: int) -> None:
+        self.common_scalar(v)
+        self._proof += (int(v) % FR.p).to_bytes(32, "little")
+
+    def squeeze_challenge(self) -> int:
+        self._h.update(PREFIX_CHALLENGE)
+        wide = self._h.copy().digest()
+        return int.from_bytes(wide, "little") % FR.p
+
+    def finalize(self) -> bytes:
+        return bytes(self._proof)
+
+
+class Blake2bRead:
+    """Verifier-side transcript: replays a proof byte stream."""
+
+    def __init__(self, proof: bytes):
+        self._h = hashlib.blake2b(digest_size=64, person=PERSON)
+        self._proof = proof
+        self._pos = 0
+
+    def common_point(self, pt) -> None:
+        self._h.update(PREFIX_POINT)
+        self._h.update(compress_g1(pt))
+
+    def common_scalar(self, v: int) -> None:
+        self._h.update(PREFIX_SCALAR)
+        self._h.update((int(v) % FR.p).to_bytes(32, "little"))
+
+    def _take(self, nbytes: int) -> bytes:
+        assert self._pos + nbytes <= len(self._proof), "proof too short"
+        out = self._proof[self._pos: self._pos + nbytes]
+        self._pos += nbytes
+        return out
+
+    def read_point(self):
+        data = self._take(32)
+        pt = decompress_g1(data)
+        self._h.update(PREFIX_POINT)
+        self._h.update(data)
+        return pt
+
+    def read_scalar(self) -> int:
+        v = int.from_bytes(self._take(32), "little")
+        assert v < FR.p, "scalar out of range"
+        self._h.update(PREFIX_SCALAR)
+        self._h.update(v.to_bytes(32, "little"))
+        return v
+
+    def squeeze_challenge(self) -> int:
+        self._h.update(PREFIX_CHALLENGE)
+        wide = self._h.copy().digest()
+        return int.from_bytes(wide, "little") % FR.p
+
+    def done(self) -> bool:
+        return self._pos == len(self._proof)
