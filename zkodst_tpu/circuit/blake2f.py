@@ -426,7 +426,11 @@ class _Numeric:
 # The schedule — single source of truth for both backends
 # ---------------------------------------------------------------------------
 
-def _schedule(b, rounds: int = 12) -> None:
+_LIN = (1, 1 << 16, 1 << 32, 1 << 48)
+
+
+def _init_phase(b):
+    """Inputs + initial work vector. Returns (v, hd, m)."""
     t0 = b.input_t(0)
     t1 = b.input_t(1)
     f = b.input_f()
@@ -445,45 +449,124 @@ def _schedule(b, rounds: int = 12) -> None:
     v[13] = b.xor(td[1], b.const_spread_word(IV[5]))
     v[14] = b.v14(f)
     v[15] = b.const_spread_word(IV[7])
+    return v, hd, m
 
-    lin = (1, 1 << 16, 1 << 32, 1 << 48)
-    for rd in range(rounds):
-        s = SIGMA[rd % 10]
-        for gi, (ia, ib, ic, idd) in enumerate(G_INDICES):
-            x, y = m[s[2 * gi]], m[s[2 * gi + 1]]
-            a, bw, c, d = v[ia], v[ib], v[ic], v[idd]
 
-            a1 = b.add(a, bw, x)                        # a1 = a + b + x
-            e1 = b.xor(d, a1)
-            d1 = b.relabel(e1, 2)                       # >>> 32
-            d1.word = b.rcp(d1.dense, lin).word
+def _g_sequence(b, a, bw, c, d, x, y):
+    """One G call: 35 rows / 131 stream cells. Shared by both backends AND
+    both numeric paths (straight-line layout walk, lax.scan round body)."""
+    a1 = b.add(a, bw, x)                        # a1 = a + b + x
+    e1 = b.xor(d, a1)
+    d1 = b.relabel(e1, 2)                       # >>> 32
+    d1.word = b.rcp(d1.dense, _LIN).word
 
-            c1 = b.add(c, d1, None)                     # c1 = c + d1
-            e2 = b.xor(bw, c1)
-            lo8, hi8 = b.s88(e2, 1)                     # >>> 24: split limb 1
-            b1w = b.rcp([e2.dense[0], lo8, hi8, e2.dense[2], e2.dense[3]],
-                        (1 << 40, 1 << 56, 1, 1 << 8, 1 << 24))
-            b1 = b.dec(b1w)
+    c1 = b.add(c, d1, None)                     # c1 = c + d1
+    e2 = b.xor(bw, c1)
+    lo8, hi8 = b.s88(e2, 1)                     # >>> 24: split limb 1
+    b1w = b.rcp([e2.dense[0], lo8, hi8, e2.dense[2], e2.dense[3]],
+                (1 << 40, 1 << 56, 1, 1 << 8, 1 << 24))
+    b1 = b.dec(b1w)
 
-            a2 = b.add(a1, b1, y)                       # a2 = a1 + b1 + y
-            e3 = b.xor(d1, a2)
-            d2 = b.relabel(e3, 1)                       # >>> 16
-            d2.word = b.rcp(d2.dense, lin).word
+    a2 = b.add(a1, b1, y)                       # a2 = a1 + b1 + y
+    e3 = b.xor(d1, a2)
+    d2 = b.relabel(e3, 1)                       # >>> 16
+    d2.word = b.rcp(d2.dense, _LIN).word
 
-            c2 = b.add(c1, d2, None)                    # c2 = c1 + d2
-            e4 = b.xor(b1, c2)
-            lo15, bit = b.s115(e4, 3)                   # >>> 63: split top limb
-            b2w = b.rcp([e4.dense[0], e4.dense[1], e4.dense[2], lo15, bit],
-                        (2, 1 << 17, 1 << 33, 1 << 49, 1))
-            b2 = b.dec(b2w)
+    c2 = b.add(c1, d2, None)                    # c2 = c1 + d2
+    e4 = b.xor(b1, c2)
+    lo15, bit = b.s115(e4, 3)                   # >>> 63: split top limb
+    b2w = b.rcp([e4.dense[0], e4.dense[1], e4.dense[2], lo15, bit],
+                (2, 1 << 17, 1 << 33, 1 << 49, 1))
+    b2 = b.dec(b2w)
+    return a2, b2, c2, d2
 
-            v[ia], v[ib], v[ic], v[idd] = a2, b2, c2, d2
 
+def _round(b, v, xys):
+    """One round: 8 G calls with pre-selected (x, y) message operands."""
+    for gi, (ia, ib, ic, idd) in enumerate(G_INDICES):
+        x, y = xys[gi]
+        v[ia], v[ib], v[ic], v[idd] = _g_sequence(
+            b, v[ia], v[ib], v[ic], v[idd], x, y)
+
+
+def _final_phase(b, v, hd):
     for i in range(8):
         tmp = b.xor(v[i], v[i + 8])
         out = b.xor(tmp, hd[i])
-        hw = b.rcp(out.dense, lin)
+        hw = b.rcp(out.dense, _LIN)
         b.expose(hw, i)
+
+
+def _schedule(b, rounds: int = 12) -> None:
+    v, hd, m = _init_phase(b)
+    for rd in range(rounds):
+        s = SIGMA[rd % 10]
+        xys = [(m[s[2 * gi]], m[s[2 * gi + 1]]) for gi in range(8)]
+        _round(b, v, xys)
+    _final_phase(b, v, hd)
+
+
+def _numeric_stream(h, m, t, f, rounds: int):
+    """Witness value stream, rounds under `lax.scan` (the straight-line walk
+    is ~15k primitives and takes minutes to compile; the scan body is one
+    round = ~1.3k). Push order matches `_schedule` exactly: init cells, then
+    rounds (each via the shared `_round`), then the finalize cells.
+
+    Returns (stream (B, ncells, 2), outputs (B, 8, 2))."""
+    nb = _Numeric(h, m, t, f)
+    v, hd, mh = _init_phase(nb)
+    init_stream = jnp.stack(nb.stream, axis=-2)           # (B, ci, 2)
+
+    def pack(ws):
+        d = jnp.stack([jnp.stack(w.dense, axis=-1) for w in ws], axis=-2)
+        s = jnp.stack([jnp.stack(w.spread, axis=-1) for w in ws], axis=-2)
+        return d, s                                        # (B, L, 4) each
+
+    def unpack(d, s, L):
+        return [WordH(word=None,
+                      dense=[d[..., i, j] for j in range(4)],
+                      spread=[s[..., i, j] for j in range(4)])
+                for i in range(L)]
+
+    if rounds:
+        vd0, vs0 = pack(v)
+        md, _ = pack(mh)                                   # (B, 16, 4)
+        sig = np.asarray(SIGMA, np.int32)
+        msel = np.stack([sig[np.arange(rounds) % 10, 2 * gi:2 * gi + 2]
+                         for gi in range(8)], axis=1)      # (rounds, 8, 2)
+
+        def body(carry, msel_r):
+            vd, vs = carry
+            nbr = _Numeric(h, m, t, f)
+            vv = unpack(vd, vs, 16)
+            xys = []
+            for gi in range(8):
+                xd = jnp.take(md, msel_r[gi, 0], axis=-2)  # (B, 4)
+                yd = jnp.take(md, msel_r[gi, 1], axis=-2)
+                xys.append((
+                    WordH(dense=[xd[..., j] for j in range(4)]),
+                    WordH(dense=[yd[..., j] for j in range(4)])))
+            _round(nbr, vv, xys)
+            ys = jnp.stack(nbr.stream, axis=-2)            # (B, cr, 2)
+            vd2, vs2 = pack(vv)
+            return (vd2, vs2), ys
+
+        (vdf, vsf), round_ys = jax.lax.scan(
+            body, (vd0, vs0), jnp.asarray(msel))
+        # (rounds, B, cr, 2) -> (B, rounds·cr, 2)
+        round_stream = jnp.moveaxis(round_ys, 0, 1)
+        round_stream = round_stream.reshape(
+            round_stream.shape[0], -1, 2)
+        v = unpack(vdf, vsf, 16)
+    else:
+        round_stream = jnp.zeros(init_stream.shape[:-2] + (0, 2), jnp.uint32)
+
+    nbf = _Numeric(h, m, t, f)
+    _final_phase(nbf, v, hd)
+    final_stream = jnp.stack(nbf.stream, axis=-2)
+    stream = jnp.concatenate([init_stream, round_stream, final_stream],
+                             axis=-2)
+    return stream, jnp.stack(nbf.outputs, axis=-2)
 
 
 # ---------------------------------------------------------------------------
@@ -619,16 +702,20 @@ class Blake2fCircuit:
         """Batched witness: h (B,8,2), m (B,16,2), t (B,2,2), f (B,).
 
         B must equal n_inst. Returns (advice dict, instance dict), each
-        column an (n, 2) uint32 tensor."""
-        B, n, R = self.n_inst, 1 << self.k, self.rows_per_inst
+        column an (n, 2) uint32 tensor. The whole computation (schedule +
+        scatter) runs as ONE jitted program — the schedule alone is ~13k
+        small ops and would take minutes in eager dispatch."""
+        if not hasattr(self, "_jit_witness"):
+            self._jit_witness = jax.jit(self._witness_impl)
         h, m, t = (jnp.asarray(x, jnp.uint32) for x in (h, m, t))
-        f = jnp.asarray(f)
-        assert h.shape == (B, 8, 2), h.shape
+        return self._jit_witness(h, m, t, jnp.asarray(f))
 
-        nb = _Numeric(h, m, t, f)
-        _schedule(nb, self.rounds)
-        stream = jnp.stack(nb.stream, axis=-2)        # (B, ncells, 2)
-        assert stream.shape[-2] == self.ncells
+    def _witness_impl(self, h, m, t, f):
+        B, n, R = self.n_inst, 1 << self.k, self.rows_per_inst
+        assert h.shape == (B, 8, 2), h.shape
+        stream, outputs = _numeric_stream(h, m, t, f, self.rounds)
+        assert stream.shape[-2] == self.ncells, \
+            (stream.shape, self.ncells)
 
         adv = {}
         boff = (R * np.arange(B, dtype=np.int64))[:, None]
@@ -647,7 +734,7 @@ class Blake2fCircuit:
             adv[col] = arr
 
         # instance column: t0,t1,f,h,m,h'
-        outs = jnp.stack(nb.outputs, axis=-2)         # (B, 8, 2)
+        outs = outputs                                 # (B, 8, 2)
         fcol = jnp.stack([f.astype(jnp.uint32),
                           jnp.zeros_like(f, jnp.uint32)], axis=-1)
         block = jnp.concatenate(
