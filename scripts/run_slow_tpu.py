@@ -1,0 +1,92 @@
+"""Heavy-compile verification flows, meant for the TPU backend (axon).
+
+Runs the `slow`-marked test content end-to-end on the real chip: the k=17
+BLAKE2f circuit witness + mock check (positive AND negative), and the toy
+e2e prove/verify. The 1-core CPU on this host can't compile these graphs in
+reasonable time; the TPU's remote-compile relay can (results cached in
+.jax_cache_tpu).
+
+Usage:  python scripts/run_slow_tpu.py [--skip-e2e]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", ".jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    from zkodst_tpu.circuit import blake2f as bc
+    from zkodst_tpu.circuit import mock
+    from zkodst_tpu.ops import blake2, u64
+
+    print("device:", jax.devices()[0], flush=True)
+
+    # --- flow 3: k=17 circuit mock check, positive + negative ----------
+    t0 = time.time()
+    c = bc.Blake2fCircuit(k=17, n_inst=1)
+    v = blake2.EIP152_VECTOR
+    h = u64.from_ints(v["h"])[None]
+    m = u64.from_ints(v["m"])[None]
+    t = u64.from_ints(v["t"])[None]
+    f = np.array([v["f"]], bool)
+    adv, inst = c.witness(h, m, t, f)
+    adv = {k: np.asarray(a) for k, a in adv.items()}
+    inst = {k: np.asarray(a) for k, a in inst.items()}
+    print(f"witness: {time.time() - t0:.0f}s", flush=True)
+
+    pub = inst["pub"]
+    outs = [int(u64.to_int(pub[bc.ROW_OUT + i])) for i in range(8)]
+    expected = blake2.blake2f_py(list(v["h"]), list(v["m"]), v["t"], v["f"])
+    assert outs == expected, "witness outputs != oracle"
+    print("outputs match EIP-152 oracle", flush=True)
+
+    t0 = time.time()
+    fails = mock.check(c.circ, adv, inst)
+    assert fails == [], [str(x) for x in fails][:8]
+    print(f"mock check PASS ({time.time() - t0:.0f}s)", flush=True)
+
+    bad = {k: a.copy() for k, a in adv.items()}
+    rows = np.nonzero(bad["s1"][:, 0])[0]
+    bad["s1"][rows[len(rows) // 2], 0] ^= 1
+    fails = mock.check(c.circ, bad, inst)
+    assert fails, "corruption went undetected"
+    print(f"negative mock check PASS ({len(fails)} violations)", flush=True)
+
+    if "--skip-e2e" in sys.argv:
+        return 0
+
+    # --- flow 4: toy-circuit e2e prove/verify ---------------------------
+    import test_circuit_ir as toy
+    from zkodst_tpu.proof import keygen, prover, srs, verifier
+
+    t0 = time.time()
+    circ = toy.toy_circuit()
+    params = srs.setup(circ.k, seed=2)
+    pk = keygen.keygen(params, circ, msm_window=4)
+    print(f"toy setup+keygen: {time.time() - t0:.0f}s", flush=True)
+    t0 = time.time()
+    proof = prover.create_proof(params, pk, toy.good_witness(), {}, seed=3)
+    print(f"toy prove: {time.time() - t0:.0f}s ({len(proof)} bytes)",
+          flush=True)
+    assert verifier.verify_proof(params, pk.vk, {}, proof), "verify failed"
+    badp = bytearray(proof)
+    badp[5] ^= 1
+    assert not verifier.verify_proof(params, pk.vk, {}, bytes(badp)), \
+        "tampered proof accepted"
+    print("toy e2e prove/verify PASS (incl. tamper rejection)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

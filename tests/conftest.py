@@ -22,3 +22,23 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+# This host has a single CPU core; XLA compiles of the big (k=17) graphs
+# take tens of minutes there. Tests marked `slow` are skipped by default
+# and run on the TPU backend via scripts/ (set RUN_SLOW=1 to include them).
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: heavy-compile test (TPU-run)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow (set RUN_SLOW=1); covered by "
+                                   "scripts/ on the TPU backend")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -8,6 +8,8 @@ mock check + negative tests that corrupt one cell per constraint family
 import numpy as np
 import pytest
 
+_SLOW = pytest.mark.slow
+
 from zkodst_tpu.circuit import blake2f as bc
 from zkodst_tpu.circuit import mock
 from zkodst_tpu.ops import blake2, u64
@@ -18,6 +20,8 @@ def built():
     return bc.Blake2fCircuit(k=17, n_inst=1, rounds=12)
 
 
+# witness generation at k=17 compiles for tens of minutes on the 1-core CPU
+# backend; everything touching it is `slow` (TPU-run via scripts/)
 @pytest.fixture(scope="module")
 def vec_witness(built):
     v = blake2.EIP152_VECTOR
@@ -30,6 +34,7 @@ def vec_witness(built):
             {k: np.asarray(a) for k, a in inst.items()})
 
 
+@_SLOW
 def test_witness_outputs_match_oracle(built, vec_witness):
     v = blake2.EIP152_VECTOR
     _, inst = vec_witness
@@ -41,6 +46,7 @@ def test_witness_outputs_match_oracle(built, vec_witness):
     assert digest == v["expected"]
 
 
+@_SLOW
 def test_mock_check_passes(built, vec_witness):
     adv, inst = vec_witness
     fails = mock.check(built.circ, adv, inst)
@@ -54,6 +60,7 @@ def _corrupt(vec_witness, col, row, delta=1):
     return adv, inst
 
 
+@_SLOW
 @pytest.mark.parametrize("col", ["d1", "s1", "w", "ca", "ce"])
 def test_corruption_detected(built, vec_witness, col):
     # find a row where the column is nonzero (so the flip changes semantics)
@@ -65,6 +72,7 @@ def test_corruption_detected(built, vec_witness, col):
     assert fails, f"corrupting {col}[{row}] went undetected"
 
 
+@_SLOW
 def test_wrong_public_output_detected(built, vec_witness):
     adv, inst = vec_witness
     inst = {k: a.copy() for k, a in inst.items()}

@@ -1,0 +1,45 @@
+"""Multi-chip MSM: points sharded over the mesh, one Pippenger per chip.
+
+The TPU-native replacement for rayon splitting MSM buckets across cores
+(SURVEY.md §2.3 N13, §2.4 TP row): `shard_map` over a 1-D mesh axis, each
+device runs the full windowed-bucket MSM (ops/msm.py) on its point/scalar
+shard, partial sums are `all_gather`-ed (D tiny points) and tree-added —
+point addition is not a `psum`-able reduction, but D is small so the
+gather+tree costs one latency hop.
+
+Scalars/points layout: leading axis sharded (P("dp")); result replicated.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops import curve, msm
+
+
+def msm_sharded(points, scalar_limbs, mesh: Mesh, axis: str = "dp",
+                c: int = 8):
+    """Σ_i scalar_i · P_i with the i axis sharded over `axis`.
+
+    points: (N, 3, 16); scalar_limbs: (N, 16) normal-form 16-bit limbs.
+    N must divide evenly by the mesh axis size. Returns (3, 16) replicated.
+    """
+    ndev = mesh.shape[axis]
+    assert points.shape[0] % ndev == 0
+
+    def local(pts, scs):
+        part = msm.msm(pts, scs, c)                    # (3, 16)
+        parts = jax.lax.all_gather(part, axis)         # (D, 3, 16)
+        acc = parts[0]
+        for d in range(1, ndev):                       # static tree is tiny
+            acc = curve.add(acc, parts[d])
+        return acc
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis)),
+                   out_specs=P())
+    return fn(points, scalar_limbs)

@@ -1,0 +1,163 @@
+"""Key generation: vk/pk from a CircuitDef + SRS.
+
+The `keygen_vk` / `keygen_pk` equivalent
+(/root/reference/benchmarking/src/blake2f_circuit_bench.rs:54-55; SURVEY.md
+§2.3 N2): fixed-column polynomials, the copy-constraint permutation, and
+their commitments — all emitted as device-resident tensors.
+
+Permutation argument (halo2-style, SURVEY.md §2.3 N10): positions (col, row)
+over the ordered `perm_cols` are merged into cycles (union-find over the
+CopyGroups); σ maps each position to the next in its cycle. σ polynomials
+are *index maps* (col', row') resolved on device as δ^col'·ω^row' with two
+gathers + one field mul — no host-side big-int table builds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..circuit.ir import CircuitDef, u64_cols_to_field
+from ..ops.field import FR as DFR
+from ..ops.pyfield import FR
+from . import srs
+from .domain import DELTA, Domain
+
+# permutation chunk size, chosen so the chunk product constraint degree
+# (2 + chunk) stays within the 4n extended domain: active·Z·∏(a+βσ+γ) has
+# degree 2 + PERM_CHUNK = 4 = EXT_FACTOR (halo2's max_degree−2 rule with
+# our max gate degree 4)
+PERM_CHUNK = 2
+
+
+@dataclass
+class VerifyingKey:
+    k: int
+    fixed_commitments: Dict[str, tuple]
+    sigma_commitments: List[tuple]
+    perm_cols: List[str]
+    circ: CircuitDef
+
+    @property
+    def perm_chunks(self) -> List[List[str]]:
+        return [self.perm_cols[i: i + PERM_CHUNK]
+                for i in range(0, len(self.perm_cols), PERM_CHUNK)]
+
+    def hash_into(self, transcript) -> None:
+        transcript.common_scalar(self.k)
+        for name in sorted(self.fixed_commitments):
+            transcript.common_point(self.fixed_commitments[name])
+        for c in self.sigma_commitments:
+            transcript.common_point(c)
+
+
+@dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    fixed_evals: Dict[str, jnp.ndarray]        # (n, 16) Montgomery
+    fixed_coeffs: Dict[str, jnp.ndarray]
+    sigma_maps: List[Tuple[np.ndarray, np.ndarray]]   # (colidx, rowidx)
+    sigma_evals: List[jnp.ndarray]
+    sigma_coeffs: List[jnp.ndarray]
+    ext_selectors: Dict[str, np.ndarray]       # l0/llast/lblind/zh_inv (4n,16)
+    roots: jnp.ndarray                         # ω^j table (n, 16)
+
+
+def _roots_dev(dom: Domain) -> jnp.ndarray:
+    """ω^j for j < n as (n,16) Montgomery limbs — one NTT of X."""
+    n = dom.n
+    e1 = np.zeros((n, 16), np.uint32)
+    e1[1] = DFR.ONE
+    return dom.ntt(jnp.asarray(e1))
+
+
+def _build_sigma(circ: CircuitDef, perm_cols: List[str]):
+    """Union-find over copy positions -> per-column (col', row') index maps."""
+    n = circ.n
+    cidx = {c: i for i, c in enumerate(perm_cols)}
+    parent: Dict[int, int] = {}
+
+    def find(a: int) -> int:
+        root = a
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(a, a) != a:
+            parent[a], a = root, parent[a]
+        return root
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    def enc(col: str, row: int) -> int:
+        return cidx[col] * n + row
+
+    members: Dict[int, bool] = {}
+    for cp in circ.copies:
+        assert cp.col_a in cidx and cp.col_b in cidx, \
+            f"copy touches non-permutation column {cp.col_a}/{cp.col_b}"
+        for ra, rb in zip(cp.rows_a.tolist(), cp.rows_b.tolist()):
+            a, b = enc(cp.col_a, int(ra)), enc(cp.col_b, int(rb))
+            members[a] = members[b] = True
+            union(a, b)
+
+    cycles: Dict[int, List[int]] = {}
+    for pos in members:
+        cycles.setdefault(find(pos), []).append(pos)
+
+    colmap = [np.full(n, i, np.int32) for i in range(len(perm_cols))]
+    rowmap = [np.arange(n, dtype=np.int32) for _ in perm_cols]
+    for cyc in cycles.values():
+        cyc.sort()
+        for i, pos in enumerate(cyc):
+            nxt = cyc[(i + 1) % len(cyc)]
+            colmap[pos // n][pos % n] = nxt // n
+            rowmap[pos // n][pos % n] = nxt % n
+    return list(zip(colmap, rowmap))
+
+
+def keygen(params: srs.ParamsKZG, circ: CircuitDef,
+           msm_window: int = 8) -> ProvingKey:
+    assert params.k == circ.k
+    dom = Domain(circ.k)
+    roots = _roots_dev(dom)
+
+    # δ distinctness for the permutation cosets (SURVEY design: δ^d ∉ H for
+    # 0 < d ≤ #columns ⟺ δ^d ≠ 1 since δ has odd order)
+    perm_cols = (list(circ.advice_names) + list(circ.instance_names)
+                 + (["cst"] if "cst" in circ.fixed else []))
+    for d in range(1, len(perm_cols) + 1):
+        assert pow(DELTA, d, FR.p) != 1, "DELTA order too small"
+
+    fixed_evals, fixed_coeffs, fixed_comm = {}, {}, {}
+    for name, col in circ.fixed.items():
+        ev = u64_cols_to_field(DFR, jnp.asarray(col))
+        fixed_evals[name] = ev
+        fixed_coeffs[name] = dom.intt(ev)
+        fixed_comm[name] = srs.to_affine(
+            srs.commit_lagrange(params, ev, msm_window))
+
+    sigma_maps = _build_sigma(circ, perm_cols)
+    delta_pows = jnp.asarray(DFR.from_ints(
+        [pow(DELTA, i, FR.p) for i in range(len(perm_cols))]))
+    sigma_evals, sigma_coeffs, sigma_comm = [], [], []
+    for colmap, rowmap in sigma_maps:
+        ev = DFR.mul(delta_pows[jnp.asarray(colmap)],
+                     roots[jnp.asarray(rowmap)])
+        sigma_evals.append(ev)
+        sigma_coeffs.append(dom.intt(ev))
+        sigma_comm.append(srs.to_affine(
+            srs.commit_lagrange(params, ev, msm_window)))
+
+    vk = VerifyingKey(k=circ.k, fixed_commitments=fixed_comm,
+                      sigma_commitments=sigma_comm, perm_cols=perm_cols,
+                      circ=circ)
+    return ProvingKey(
+        vk=vk, fixed_evals=fixed_evals, fixed_coeffs=fixed_coeffs,
+        sigma_maps=sigma_maps, sigma_evals=sigma_evals,
+        sigma_coeffs=sigma_coeffs,
+        ext_selectors=dom.selectors_extended(), roots=roots)

@@ -1,0 +1,209 @@
+"""SHPLONK multiopen (BDFG20) — KZG batch opening at arbitrary point sets.
+
+The `ProverSHPLONK`/`VerifierSHPLONK` equivalent
+(/root/reference/benchmarking/src/blake2f_circuit_bench.rs:64-101; SURVEY.md
+§2.3 N11): one pair of G1 witness points opens every (poly, points, evals)
+claim of the proof.
+
+Protocol (claims (f_i, S_i, r_i), T = ∪S_i, r_i = interpolant of the claimed
+evals over S_i):
+
+  y ← FS                     h(X)  = Σ y^i (f_i(X) − r_i(X)) / Z_{S_i}(X)
+  W  = [h]₁ → transcript
+  z ← FS                     L(X)  = Σ y^i Z_{T∖S_i}(z)(f_i(X) − r_i(z))
+                                     − Z_T(z)·h(X)          (L(z) = 0)
+                             h'(X) = L(X)/(X − z)
+  W' = [h']₁ → transcript
+  check:  e(L_com + z·W', G2) == e(W', [τ]G2)
+
+TPU-first: both divisions run in **evaluation form** over H (batched field
+inversions + pointwise ops — no sequential synthetic division), then one
+iNTT + MSM per witness point. Host work is O(#claims · |S_i|²) scalars.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import pycurve
+from ..ops.field import FR as DFR
+from ..ops.pyfield import FR
+from . import srs
+from .domain import Domain
+
+
+@dataclass
+class Claim:
+    """One opening claim. evals_dev is prover-only ((n,16) eval form on H)."""
+
+    points: Tuple[int, ...]
+    evals: Tuple[int, ...]
+    evals_dev: object = None        # prover
+    commitment: object = None       # verifier (affine int tuple)
+
+
+def _interp(points: Sequence[int], evals: Sequence[int]) -> List[int]:
+    """Lagrange interpolation -> coefficient list (host, tiny sets)."""
+    p = FR.p
+    m = len(points)
+    coeffs = [0] * m
+    for j in range(m):
+        # basis poly ∏_{k≠j} (X − x_k) / (x_j − x_k)
+        num = [1]
+        den = 1
+        for kk in range(m):
+            if kk == j:
+                continue
+            num = _polymul(num, [(-points[kk]) % p, 1])
+            den = den * (points[j] - points[kk]) % p
+        scale = evals[j] * pow(den, -1, p) % p
+        for t in range(len(num)):
+            coeffs[t] = (coeffs[t] + scale * num[t]) % p
+    return coeffs
+
+
+def _polymul(a: List[int], b: List[int]) -> List[int]:
+    p = FR.p
+    out = [0] * (len(a) + len(b) - 1)
+    for i, x in enumerate(a):
+        for j, yv in enumerate(b):
+            out[i + j] = (out[i + j] + x * yv) % p
+    return out
+
+
+def _poly_eval(coeffs: List[int], x: int) -> int:
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * x + c) % FR.p
+    return acc
+
+
+@lru_cache(maxsize=4)
+def _roots_table(k: int) -> np.ndarray:
+    """ω^j for j < n, as (n, 16) Montgomery limbs (host, cached)."""
+    dom = Domain(k)
+    p = FR.p
+    vals = [1] * dom.n
+    for j in range(1, dom.n):
+        vals[j] = vals[j - 1] * dom.omega % p
+    return DFR.from_ints(vals)
+
+
+def _eval_on_h(coeffs: List[int], roots) -> jnp.ndarray:
+    """Evaluate a tiny host poly on all of H (device Horner)."""
+    n = roots.shape[0]
+    acc = jnp.broadcast_to(jnp.asarray(DFR.from_int(0)), (n, 16))
+    for c in reversed(coeffs):
+        acc = DFR.mul(acc, roots)
+        acc = DFR.add(acc, jnp.broadcast_to(jnp.asarray(DFR.from_int(c)),
+                                            (n, 16)))
+    return acc
+
+
+def _zs_on_h(points: Sequence[int], roots) -> jnp.ndarray:
+    """Z_S(X) = ∏(X − s) evaluated on H (device)."""
+    n = roots.shape[0]
+    acc = jnp.broadcast_to(jnp.asarray(DFR.ONE), (n, 16))
+    for s in points:
+        sm = jnp.broadcast_to(jnp.asarray(DFR.from_int(s)), (n, 16))
+        acc = DFR.mul(acc, DFR.sub(roots, sm))
+    return acc
+
+
+def open_claims(params: srs.ParamsKZG, dom: Domain, claims: List[Claim],
+                tw) -> None:
+    """Prover: writes W, W' to the transcript."""
+    p = FR.p
+    n = dom.n
+    roots = jnp.asarray(_roots_table(dom.k))
+
+    y = tw.squeeze_challenge()
+
+    # h(X) = Σ y^i (f_i − r_i) / Z_{S_i}, built in eval form over H
+    h_ev = jnp.zeros((n, 16), jnp.uint32)
+    ypow = 1
+    rs = []
+    for cl in claims:
+        r = _interp(cl.points, cl.evals)
+        rs.append(r)
+        num = DFR.sub(jnp.asarray(cl.evals_dev), _eval_on_h(r, roots))
+        zinv = DFR.inv(_zs_on_h(cl.points, roots))
+        term = DFR.mul(num, zinv)
+        yk = jnp.broadcast_to(jnp.asarray(DFR.from_int(ypow)), (n, 16))
+        h_ev = DFR.add(h_ev, DFR.mul(yk, term))
+        ypow = ypow * y % p
+    w_pt = srs.to_affine(srs.commit_coeff(params, dom.intt(h_ev)))
+    tw.write_point(w_pt)
+
+    z = tw.squeeze_challenge()
+    t_all = sorted({pt for cl in claims for pt in cl.points})
+    zt_z = 1
+    for s in t_all:
+        zt_z = zt_z * (z - s) % p
+
+    l_ev = jnp.zeros((n, 16), jnp.uint32)
+    const = 0
+    ypow = 1
+    for cl, r in zip(claims, rs):
+        zts = 1
+        for s in t_all:
+            if s not in cl.points:
+                zts = zts * (z - s) % p
+        c = ypow * zts % p
+        ck = jnp.broadcast_to(jnp.asarray(DFR.from_int(c)), (n, 16))
+        l_ev = DFR.add(l_ev, DFR.mul(ck, jnp.asarray(cl.evals_dev)))
+        const = (const + c * _poly_eval(r, z)) % p
+        ypow = ypow * y % p
+    l_ev = DFR.sub(l_ev, jnp.broadcast_to(
+        jnp.asarray(DFR.from_int(const)), (n, 16)))
+    ztk = jnp.broadcast_to(jnp.asarray(DFR.from_int(zt_z)), (n, 16))
+    l_ev = DFR.sub(l_ev, DFR.mul(ztk, h_ev))
+    # h' = L / (X − z) in eval form (z ∉ H w.h.p.)
+    zm = jnp.broadcast_to(jnp.asarray(DFR.from_int(z)), (n, 16))
+    hp_ev = DFR.mul(l_ev, DFR.inv(DFR.sub(roots, zm)))
+    wp_pt = srs.to_affine(srs.commit_coeff(params, dom.intt(hp_ev)))
+    tw.write_point(wp_pt)
+
+
+def verify_claims(params: srs.ParamsKZG, dom: Domain, claims: List[Claim],
+                  tr) -> bool:
+    """Verifier: reads W, W', runs the pairing check."""
+    from . import pairing
+
+    p = FR.p
+    y = tr.squeeze_challenge()
+    w_pt = tr.read_point()
+    z = tr.squeeze_challenge()
+    wp_pt = tr.read_point()
+
+    t_all = sorted({pt for cl in claims for pt in cl.points})
+    zt_z = 1
+    for s in t_all:
+        zt_z = zt_z * (z - s) % p
+
+    # L_com = Σ y^i Z_{T∖S_i}(z)·C_i − [const]·G − Z_T(z)·W
+    g1 = pycurve.G1
+    acc = None
+    const = 0
+    ypow = 1
+    for cl in claims:
+        zts = 1
+        for s in t_all:
+            if s not in cl.points:
+                zts = zts * (z - s) % p
+        c = ypow * zts % p
+        acc = g1.add(acc, g1.mul(cl.commitment, c))
+        r = _interp(cl.points, cl.evals)
+        const = (const + c * _poly_eval(r, z)) % p
+        ypow = ypow * y % p
+    acc = g1.add(acc, g1.mul(pycurve.G1_GEN, (-const) % p))
+    acc = g1.add(acc, g1.mul(w_pt, (-zt_z) % p))
+    # e(L_com + z·W', G2) == e(W', [τ]G2)
+    lhs = g1.add(acc, g1.mul(wp_pt, z))
+    return pairing.pairing_check(
+        [(lhs, params.g2), (g1.neg(wp_pt), params.s_g2)])

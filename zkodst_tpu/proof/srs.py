@@ -1,0 +1,176 @@
+"""KZG structured reference string (SRS) + polynomial commitments.
+
+The `ParamsKZG::<Bn256>::setup` equivalent
+(/root/reference/benchmarking/src/blake2f_circuit_bench.rs:49; SURVEY.md
+§2.3 N11): a *testing* SRS from a seeded τ, with both the monomial basis
+[τ^i]G (for coefficient-form commits: quotient chunks, SHPLONK witnesses)
+and the Lagrange basis [L_i(τ)]G (for direct eval-form commits: advice,
+lookup, permutation columns — skips an iNTT per commitment).
+
+TPU-first: the 2·n point tables are produced by ONE batched 256-step
+double-and-add over all lanes (ops.curve.scalar_mul), with the scalar
+tables (τ^i and L_i(τ)) computed host-side via a batched-inversion pass.
+Commitments are Pippenger MSMs (ops.msm). Persisted to disk keyed by k
+(SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import curve, msm
+from ..ops import pycurve
+from ..ops.field import FR as DFR
+from ..ops.pyfield import FR
+from .domain import Domain
+
+
+@dataclass
+class ParamsKZG:
+    k: int
+    g1: np.ndarray             # (n, 3, 16) monomial-basis points [τ^i]G
+    g1_lagrange: np.ndarray    # (n, 3, 16) Lagrange-basis points [L_i(τ)]G
+    g2: Tuple                  # G2 generator (affine Fq2 ints)
+    s_g2: Tuple                # [τ]G2
+
+    @property
+    def n(self) -> int:
+        return 1 << self.k
+
+
+def _batch_inv(vals, p):
+    pref = [1] * (len(vals) + 1)
+    for i, v in enumerate(vals):
+        pref[i + 1] = pref[i] * v % p
+    inv = pow(pref[-1], -1, p)
+    out = [0] * len(vals)
+    for i in range(len(vals) - 1, -1, -1):
+        out[i] = pref[i] * inv % p
+        inv = inv * vals[i] % p
+    return out
+
+
+@jax.jit
+def _fixed_base_msm(tbl, digits):
+    """acc_i = Σ_w tbl[w][digits[w, i]] — per-lane fixed-base sums.
+
+    tbl: (W, 16, 3, 16) window point tables; digits: (W, n)."""
+    n = digits.shape[1]
+    acc0 = jnp.broadcast_to(curve.identity(), (n, 3, 16))
+
+    def body(acc, wd):
+        trow, drow = wd
+        return curve.add(acc, trow[drow]), None
+
+    acc, _ = jax.lax.scan(body, acc0, (tbl, digits))
+    return acc
+
+
+def setup(k: int, seed: int = 0) -> ParamsKZG:
+    """Deterministic testing SRS (the reference seeds its RNG the same way
+    for reproducible transcripts, blake2f_circuit_bench.rs:41-44)."""
+    import random
+
+    p = FR.p
+    n = 1 << k
+    rng = random.Random(("zkodst-srs", seed, k).__repr__())
+    tau = rng.randrange(1, p)
+
+    # scalar tables (host): τ^i, and L_i(τ) = ω^i (τ^n − 1) / (n (τ − ω^i))
+    dom = Domain(k)
+    w = dom.omega
+    taupow = [1] * n
+    for i in range(1, n):
+        taupow[i] = taupow[i - 1] * tau % p
+    zh = (pow(tau, n, p) - 1) % p
+    wpow = [1] * n
+    for i in range(1, n):
+        wpow[i] = wpow[i - 1] * w % p
+    dens = [n * (tau - wpow[i]) % p for i in range(n)]
+    dinv = _batch_inv(dens, p)
+    lag = [wpow[i] * zh % p * dinv[i] % p for i in range(n)]
+
+    # device: fixed-base windowed ladder. Host precomputes the tiny
+    # table[w][d] = d·2^{4w}·G (64×16 points); the device scan body is one
+    # gather + one complete add — far cheaper to compile AND 4× fewer adds
+    # than a 256-step double-and-add.
+    C, W = 4, 64
+    tbl_aff = []
+    pw = pycurve.G1_GEN
+    for w in range(W):
+        row = [None]
+        for d in range(1, 1 << C):
+            row.append(pycurve.G1.add(row[-1], pw))
+        tbl_aff.append(row)
+        for _ in range(C):
+            pw = pycurve.G1.add(pw, pw)
+    tbl = np.stack([curve.from_affine_ints(r) for r in tbl_aff])  # (W,16,3,16)
+
+    def _pmul(scalars):
+        digits = np.zeros((W, n), np.int32)
+        for i, s in enumerate(scalars):
+            for w in range(W):
+                digits[w, i] = (s >> (C * w)) & ((1 << C) - 1)
+        return np.asarray(_fixed_base_msm(jnp.asarray(tbl),
+                                          jnp.asarray(digits)))
+
+    g1 = _pmul(taupow)
+    g1_lagrange = _pmul(lag)
+    s_g2 = pycurve.G2.mul(pycurve.G2_GEN, tau)
+    return ParamsKZG(k=k, g1=g1, g1_lagrange=g1_lagrange,
+                     g2=pycurve.G2_GEN, s_g2=s_g2)
+
+
+def commit_lagrange(params: ParamsKZG, evals_mont, c: int = 8):
+    """Commit a polynomial given in evaluation (Lagrange) form.
+
+    evals_mont: (n, 16) uint32 Fr Montgomery limbs. Returns a device-side
+    projective point (3, 16)."""
+    return msm.msm_mont(params.g1_lagrange, evals_mont, c)
+
+
+def commit_coeff(params: ParamsKZG, coeffs_mont, c: int = 8):
+    """Commit a polynomial in coefficient form (may be shorter than n)."""
+    m = coeffs_mont.shape[0]
+    return msm.msm_mont(params.g1[:m], coeffs_mont, c)
+
+
+def to_affine(point) -> Optional[Tuple[int, int]]:
+    """Device projective point -> host affine int tuple (None = identity)."""
+    return curve.to_affine_ints(np.asarray(point)[None])[0]
+
+
+# ---------------------------------------------------------------------------
+# disk persistence (SURVEY.md §5.4 — params cached like the reference's
+# benches/blake2f.rs:83-97 sha256_params file)
+# ---------------------------------------------------------------------------
+
+def save(params: ParamsKZG, path: str) -> None:
+    np.savez_compressed(
+        path, k=params.k, g1=params.g1, g1_lagrange=params.g1_lagrange,
+        g2=np.array(params.g2, dtype=object),
+        s_g2=np.array(params.s_g2, dtype=object), allow_pickle=True)
+
+
+def load(path: str) -> ParamsKZG:
+    z = np.load(path, allow_pickle=True)
+    g2 = tuple(tuple(int(c) for c in co) for co in z["g2"])
+    s_g2 = tuple(tuple(int(c) for c in co) for co in z["s_g2"])
+    return ParamsKZG(k=int(z["k"]), g1=z["g1"],
+                     g1_lagrange=z["g1_lagrange"], g2=g2, s_g2=s_g2)
+
+
+def get_or_create(k: int, cache_dir: str = ".zkodst_cache") -> ParamsKZG:
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"srs_bn254_k{k}.npz")
+    if os.path.exists(path):
+        return load(path)
+    params = setup(k)
+    save(params, path)
+    return params
