@@ -172,8 +172,9 @@ def open_claims(params: srs.ParamsKZG, dom: Domain, claims: List[Claim],
 
 def verify_claims(params: srs.ParamsKZG, dom: Domain, claims: List[Claim],
                   tr) -> bool:
-    """Verifier: reads W, W', runs the pairing check."""
-    from . import pairing
+    """Verifier: reads W, W', runs the pairing check (native C++ core when
+    available, pure Python otherwise — zkodst_tpu/native.py)."""
+    from .. import native as pairing
 
     p = FR.p
     y = tr.squeeze_challenge()
