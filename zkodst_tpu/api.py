@@ -71,7 +71,7 @@ def setup_blake2f(k: int = 17, n_inst: int = 1, rounds: int = 12,
             params = srs.get_or_create(k, cache_dir)
         else:
             params = srs.setup(k, seed=srs_seed)
-        pk = keygen_mod.keygen(params, built.circ)
+        pk = keygen_mod.keygen(params, built.circ, cache_dir=cache_dir)
     return Blake2fProver(built=built, params=params, pk=pk, metrics=metrics)
 
 

@@ -36,6 +36,26 @@ LB = 16         # bits per limb
 LIMB_MASK = np.uint32(0xFFFF)
 R_BITS = L * LB  # 256
 
+_PALLAS_MIN_LANES = 1024
+
+
+def _pallas_wanted(a, b) -> bool:
+    """Trace-time routing decision for Field.mul (TPU + big batch only).
+
+    ZKODST_NO_PALLAS=1 disables the kernel path (debugging/fallback)."""
+    import os
+
+    if os.environ.get("ZKODST_NO_PALLAS"):
+        return False
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return False
+    if backend not in ("tpu", "axon"):
+        return False
+    shape = np.broadcast_shapes(np.shape(a)[:-1], np.shape(b)[:-1])
+    return int(np.prod(shape, dtype=np.int64)) >= _PALLAS_MIN_LANES
+
 
 def int_to_limbs(x: int) -> np.ndarray:
     return np.array([(x >> (LB * i)) & 0xFFFF for i in range(L)],
@@ -203,7 +223,16 @@ class Field:
         return flat.reshape(lead + (L, W - 1)).sum(axis=-2)  # (..., 2L+1)
 
     def mul(self, a, b):
-        """Montgomery product ab·R^{-1} mod p, batched elementwise."""
+        """Montgomery product ab·R^{-1} mod p, batched elementwise.
+
+        On TPU backends, large batches route through the fused Pallas
+        kernel (pallas/mulmod.py — ~14× faster and no giant scan
+        intermediates); the jnp path below is the CPU/reference path."""
+        if _pallas_wanted(a, b):
+            from ..pallas.mulmod import mul_limbs_pallas
+
+            aa, bb = jnp.broadcast_arrays(jnp.asarray(a), jnp.asarray(b))
+            return mul_limbs_pallas(self, aa, bb)
         # partial products: (..., L, L) uint32, exact (operands < 2^16)
         pp = a[..., :, None] * b[..., None, :]
         # column sums t[k] = Σ_{i+j=k} lo + Σ_{i+j=k-1} hi, each < 2^21

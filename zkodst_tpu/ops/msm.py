@@ -143,3 +143,18 @@ def msm_mont(points, fr_mont_scalars, c: int = 8):
     one_raw = jnp.zeros_like(fr_mont_scalars).at[..., 0].set(1)
     normal = FR.mul(fr_mont_scalars, one_raw)   # Montgomery mul by raw 1
     return msm(points, normal, c)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def msm_many(points, scalars_batch, c: int = 8):
+    """B MSMs over the SAME point set in one dispatch (vmapped Pippenger).
+
+    points: (N, 3, 16); scalars_batch: (B, N, 16) normal-form limbs.
+    Returns (B, 3, 16). One compile + one dispatch for a whole commit
+    phase (the prover/keygen commit 8-38 columns at a time)."""
+    return jax.vmap(lambda s: msm(points, s, c))(scalars_batch)
+
+
+def msm_many_mont(points, mont_batch, c: int = 8):
+    one_raw = jnp.zeros_like(mont_batch).at[..., 0].set(1)
+    return msm_many(points, FR.mul(mont_batch, one_raw), c)

@@ -1,0 +1,122 @@
+"""Pallas TPU kernel: fused 256-bit Montgomery multiplication.
+
+The speed-of-light path for the prover's hot field ops (SURVEY.md §7
+step 6). The jnp implementation (ops/field.py `Field.mul`) materializes the
+(…,16,16) partial-product tensor and runs the 16-step Montgomery reduction
+as a `lax.scan` — every step round-trips HBM (~26 KB moved per lane). This
+kernel keeps one lane-tile of both operands in VMEM and does the whole
+schoolbook + CIOS-style reduction + carry fix-up in registers: traffic
+drops to the 128 B/lane of inputs+outputs, ~200× less.
+
+Layout: limb-major (16, N) uint32 — limbs on sublanes, lanes on the
+128-wide vector axis. `mulmod()` wraps the transposes; `Field`-compatible
+entry `mul_limbs_pallas(F, a, b)` takes/returns the (…, 16) layout.
+
+All limb loops are unrolled at trace time (static 16); every intermediate
+is < 2^32 by the same value-range argument as ops/field.py (operands are
+16-bit limbs; redundant columns stay < 2^22), with uint32 wrap-around used
+only for the m = t·(-p⁻¹) mod 2^16 step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.field import Field
+
+L = 16
+MASK = np.uint32(0xFFFF)
+
+
+def _mulmod_kernel(p_limbs, pinv16, a_ref, b_ref, o_ref):
+    """One lane-tile: a_ref/b_ref/o_ref are (16, T) uint32 in VMEM."""
+    a = [a_ref[i, :] for i in range(L)]
+    b = [b_ref[i, :] for i in range(L)]
+
+    # schoolbook: column sums t[k] = Σ_{i+j=k} lo(pp) + Σ_{i+j=k-1} hi(pp)
+    zero = jnp.zeros_like(a[0])
+    t = [zero] * (2 * L + 1)
+    for i in range(L):
+        for j in range(L):
+            pp = a[i] * b[j]                   # exact: operands < 2^16
+            t[i + j] = t[i + j] + (pp & MASK)
+            t[i + j + 1] = t[i + j + 1] + (pp >> np.uint32(16))
+
+    # 16 Montgomery limb eliminations (window slides down t)
+    pv = [np.uint32(x) for x in p_limbs]
+    for s in range(L):
+        carry = t[s] >> np.uint32(16)
+        ts = t[s] & MASK
+        m = (ts * pinv16) & MASK               # uint32 wrap is fine here
+        # t[s] + m*p ≡ 0 (mod 2^16); push its carry into t[s+1]
+        mp0 = m * pv[0]
+        carry = carry + ((ts + (mp0 & MASK)) >> np.uint32(16))
+        carry = carry + (mp0 >> np.uint32(16))
+        t[s + 1] = t[s + 1] + carry
+        for j in range(1, L):
+            mp = m * pv[j]
+            t[s + j] = t[s + j] + (mp & MASK)
+            t[s + j + 1] = t[s + j + 1] + (mp >> np.uint32(16))
+
+    # carry-normalize the 16 result columns (value < 2p ⇒ top column clean)
+    r = []
+    carry = zero
+    for k in range(L, 2 * L):
+        v = t[k] + carry
+        r.append(v & MASK)
+        carry = v >> np.uint32(16)
+
+    # conditional subtract p: ripple-borrow r - p, select on the final borrow
+    d = []
+    borrow = zero
+    for k in range(L):
+        v = r[k] - pv[k] - borrow              # in uint32, wraps negative
+        d.append(v & MASK)
+        borrow = (v >> np.uint32(31))           # 1 if went negative
+    ge = borrow == 0                            # r >= p
+    for k in range(L):
+        o_ref[k, :] = jnp.where(ge, d[k], r[k])
+
+
+@partial(jax.jit, static_argnums=(0,))
+def mulmod_t(F: Field, at, bt):
+    """Montgomery product on limb-major (16, N) uint32 tensors."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = at.shape[1]
+    tile = min(n, 2048)
+    assert n % tile == 0, (n, tile)
+    kern = partial(_mulmod_kernel, tuple(int(x) for x in F.P),
+                   np.uint32(F.pinv16))
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+        grid=(n // tile,),
+        in_specs=[pl.BlockSpec((L, tile), lambda i: (0, i)),
+                  pl.BlockSpec((L, tile), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((L, tile), lambda i: (0, i)),
+    )(at, bt)
+
+
+def mul_limbs_pallas(F: Field, a, b):
+    """Drop-in for Field.mul on (…, 16) tensors via the Pallas kernel.
+
+    Pads the flattened lane axis up to the tile multiple."""
+    shape = a.shape
+    a2 = a.reshape(-1, L)
+    b2 = jnp.broadcast_to(b, shape).reshape(-1, L)
+    n = a2.shape[0]
+    tile = 2048 if n >= 2048 else max(128, 1 << (n - 1).bit_length())
+    pad = (-n) % tile
+    if pad:
+        a2 = jnp.concatenate([a2, jnp.zeros((pad, L), jnp.uint32)])
+        b2 = jnp.concatenate([b2, jnp.zeros((pad, L), jnp.uint32)])
+    out = mulmod_t(F, a2.T, b2.T).T
+    if pad:
+        out = out[:n]
+    return out.reshape(shape)

@@ -120,8 +120,36 @@ def _build_sigma(circ: CircuitDef, perm_cols: List[str]):
     return list(zip(colmap, rowmap))
 
 
-def keygen(params: srs.ParamsKZG, circ: CircuitDef,
-           msm_window: int = 8) -> ProvingKey:
+def _circuit_fingerprint(circ: CircuitDef) -> str:
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(repr((circ.k, list(circ.advice_names),
+                   list(circ.instance_names),
+                   [(g.name, repr(g.poly)) for g in circ.gates],
+                   [(lk.name, tuple(lk.input_cols), tuple(lk.table_cols))
+                    for lk in circ.lookups])).encode())
+    for name in sorted(circ.fixed):
+        h.update(name.encode())
+        h.update(np.ascontiguousarray(circ.fixed[name]).tobytes())
+    for cp in circ.copies:
+        h.update(cp.col_a.encode())
+        h.update(cp.col_b.encode())
+        h.update(np.ascontiguousarray(cp.rows_a).tobytes())
+        h.update(np.ascontiguousarray(cp.rows_b).tobytes())
+    return h.hexdigest()
+
+
+def keygen(params: srs.ParamsKZG, circ: CircuitDef, msm_window: int = 8,
+           cache_dir: str | None = None) -> ProvingKey:
+    """Generate (or load) the proving key.
+
+    The slow artifacts (fixed/σ commitments, σ index maps, extended-domain
+    selector tables) are cached on disk keyed by a circuit fingerprint —
+    the reference's params-file caching pattern (SURVEY.md §5.4) extended
+    to keys. Polynomial forms are recomputed (fast NTTs) on load."""
+    import os
+
     assert params.k == circ.k
     dom = Domain(circ.k)
     roots = _roots_dev(dom)
@@ -133,25 +161,70 @@ def keygen(params: srs.ParamsKZG, circ: CircuitDef,
     for d in range(1, len(perm_cols) + 1):
         assert pow(DELTA, d, FR.p) != 1, "DELTA order too small"
 
-    fixed_evals, fixed_coeffs, fixed_comm = {}, {}, {}
-    for name, col in circ.fixed.items():
-        ev = u64_cols_to_field(DFR, jnp.asarray(col))
+    cache_path = None
+    cached = None
+    if cache_dir is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        cache_path = os.path.join(
+            cache_dir, f"pk_{_circuit_fingerprint(circ)}.npz")
+        if os.path.exists(cache_path):
+            cached = np.load(cache_path, allow_pickle=True)
+
+    fixed_names = sorted(circ.fixed)
+    fixed_evals, fixed_coeffs = {}, {}
+    for name in fixed_names:
+        ev = u64_cols_to_field(DFR, jnp.asarray(circ.fixed[name]))
         fixed_evals[name] = ev
         fixed_coeffs[name] = dom.intt(ev)
-        fixed_comm[name] = srs.to_affine(
-            srs.commit_lagrange(params, ev, msm_window))
 
-    sigma_maps = _build_sigma(circ, perm_cols)
+    if cached is not None:
+        sigma_maps = [(cached["sig_col"][i], cached["sig_row"][i])
+                      for i in range(len(perm_cols))]
+    else:
+        sigma_maps = _build_sigma(circ, perm_cols)
     delta_pows = jnp.asarray(DFR.from_ints(
         [pow(DELTA, i, FR.p) for i in range(len(perm_cols))]))
-    sigma_evals, sigma_coeffs, sigma_comm = [], [], []
+    sigma_evals, sigma_coeffs = [], []
     for colmap, rowmap in sigma_maps:
         ev = DFR.mul(delta_pows[jnp.asarray(colmap)],
                      roots[jnp.asarray(rowmap)])
         sigma_evals.append(ev)
         sigma_coeffs.append(dom.intt(ev))
-        sigma_comm.append(srs.to_affine(
-            srs.commit_lagrange(params, ev, msm_window)))
+
+    if cached is not None:
+        def dec(pt):
+            return (int(pt[0]), int(pt[1])) if int(pt[2]) else None
+
+        fixed_comm = {n: dec(pt)
+                      for n, pt in zip(fixed_names, cached["fixed_comm"])}
+        sigma_comm = [dec(pt) for pt in cached["sigma_comm"]]
+        ext_selectors = {k: cached[f"sel_{k}"]
+                         for k in ("l0", "llast", "lblind", "zh_inv")}
+    else:
+        # one batched dispatch for all fixed columns, one for all σ
+        fixed_batch = jnp.stack([fixed_evals[n] for n in fixed_names])
+        fixed_pts = srs.commit_lagrange_many(params, fixed_batch, msm_window)
+        fixed_comm = dict(zip(fixed_names, fixed_pts))
+        sigma_pts = srs.commit_lagrange_many(
+            params, jnp.stack(sigma_evals), msm_window)
+        sigma_comm = list(sigma_pts)
+        ext_selectors = dom.selectors_extended()
+        if cache_path is not None:
+            def enc(pt):
+                return (np.array([pt[0], pt[1], 1], dtype=object)
+                        if pt is not None
+                        else np.array([0, 0, 0], dtype=object))
+
+            np.savez_compressed(
+                cache_path,
+                fixed_comm=np.stack([enc(fixed_comm[n])
+                                     for n in fixed_names]),
+                sigma_comm=np.stack([enc(p) for p in sigma_comm]),
+                sig_col=np.stack([m[0] for m in sigma_maps]),
+                sig_row=np.stack([m[1] for m in sigma_maps]),
+                **{f"sel_{k}": np.asarray(v)
+                   for k, v in ext_selectors.items()},
+                allow_pickle=True)
 
     vk = VerifyingKey(k=circ.k, fixed_commitments=fixed_comm,
                       sigma_commitments=sigma_comm, perm_cols=perm_cols,
@@ -160,4 +233,4 @@ def keygen(params: srs.ParamsKZG, circ: CircuitDef,
         vk=vk, fixed_evals=fixed_evals, fixed_coeffs=fixed_coeffs,
         sigma_maps=sigma_maps, sigma_evals=sigma_evals,
         sigma_coeffs=sigma_coeffs,
-        ext_selectors=dom.selectors_extended(), roots=roots)
+        ext_selectors=ext_selectors, roots=roots)

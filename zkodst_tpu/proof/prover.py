@@ -280,15 +280,16 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
     for i, se in enumerate(pk.sigma_evals):
         evals[f"perm.sigma{i}"] = se
 
-    # --- phase 1: advice commitments ---------------------------------------
-    for name in circ.advice_names:
-        tw.write_point(srs.to_affine(
-            srs.commit_lagrange(params, evals[name], MSM_C)))
+    # --- phase 1: advice commitments (one batched MSM dispatch) -------------
+    for pt in srs.commit_lagrange_many(
+            params, jnp.stack([evals[n] for n in circ.advice_names]), MSM_C):
+        tw.write_point(pt)
 
     theta = tw.squeeze_challenge()
 
     # --- phase 2: lookup permutations ---------------------------------------
     lk_data = {}
+    lk_cols = []
     for lk in circ.lookups:
         a_cmp = _theta_compress([evals[c] for c in lk.input_cols], theta)
         s_cmp = _theta_compress([evals[c] for c in lk.table_cols], theta)
@@ -300,8 +301,11 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
         evals[f"{lk.name}.a_perm"] = ap
         evals[f"{lk.name}.s_perm"] = sp
         lk_data[lk.name] = (a_cmp, s_cmp, ap, sp)
-        tw.write_point(srs.to_affine(srs.commit_lagrange(params, ap, MSM_C)))
-        tw.write_point(srs.to_affine(srs.commit_lagrange(params, sp, MSM_C)))
+        lk_cols.extend([ap, sp])
+    if lk_cols:
+        for pt in srs.commit_lagrange_many(params, jnp.stack(lk_cols),
+                                           MSM_C):
+            tw.write_point(pt)
 
     beta = tw.squeeze_challenge()
     gamma = tw.squeeze_challenge()
@@ -314,6 +318,7 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
     nz = len(vk.perm_chunks)
     col_of = {c: i for i, c in enumerate(vk.perm_cols)}
     roots = pk.roots
+    zcols = []
     for j, chunk in enumerate(vk.perm_chunks):
         num = jnp.broadcast_to(jnp.asarray(F.ONE), (n, 16))
         den = num
@@ -330,7 +335,7 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
         z, zlast = _grand_product(ratio, carry)
         carry = F.to_int(zlast)
         evals[f"perm.z{j}"] = z
-        tw.write_point(srs.to_affine(srs.commit_lagrange(params, z, MSM_C)))
+        zcols.append(z)
 
     # --- phase 3b: lookup grand products -------------------------------------
     for lk in circ.lookups:
@@ -340,7 +345,10 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
         ratio = _mask_tail_one(F.mul(num, F.inv(den)), u)
         z, _ = _grand_product(ratio, 1)
         evals[f"{lk.name}.z"] = z
-        tw.write_point(srs.to_affine(srs.commit_lagrange(params, z, MSM_C)))
+        zcols.append(z)
+    # transcript order: permutation Z's then lookup Z's (one batched MSM)
+    for pt in srs.commit_lagrange_many(params, jnp.stack(zcols), MSM_C):
+        tw.write_point(pt)
 
     y = tw.squeeze_challenge()
 
@@ -360,7 +368,9 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
         chunk = h_coeff[i * n:(i + 1) * n]
         coeffs[f"h{i}"] = chunk
         evals[f"h{i}"] = dom.ntt(chunk)
-        tw.write_point(srs.to_affine(srs.commit_coeff(params, chunk, MSM_C)))
+    for pt in srs.commit_coeff_many(
+            params, h_coeff.reshape(EXT_FACTOR, n, 16), MSM_C):
+        tw.write_point(pt)
 
     x = tw.squeeze_challenge()
 

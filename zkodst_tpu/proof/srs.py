@@ -127,18 +127,63 @@ def setup(k: int, seed: int = 0) -> ParamsKZG:
                      g2=pycurve.G2_GEN, s_g2=s_g2)
 
 
+# MSMs above 2^16 points reliably crash the TPU worker (XLA kernel fault,
+# reproduced at exactly n=2^17 on v5e/axon); chunk and tree-add instead —
+# every chunk shares one compiled shape.
+MSM_CHUNK = 1 << 16
+
+
+def _msm_chunked(points, scalars_mont, c: int):
+    n = scalars_mont.shape[0]
+    if n <= MSM_CHUNK:
+        return msm.msm_mont(points, scalars_mont, c)
+    acc = None
+    for i in range(0, n, MSM_CHUNK):
+        part = msm.msm_mont(points[i: i + MSM_CHUNK],
+                            scalars_mont[i: i + MSM_CHUNK], c)
+        acc = part if acc is None else curve.add(acc, part)
+    return acc
+
+
 def commit_lagrange(params: ParamsKZG, evals_mont, c: int = 8):
     """Commit a polynomial given in evaluation (Lagrange) form.
 
     evals_mont: (n, 16) uint32 Fr Montgomery limbs. Returns a device-side
     projective point (3, 16)."""
-    return msm.msm_mont(params.g1_lagrange, evals_mont, c)
+    return _msm_chunked(params.g1_lagrange, evals_mont, c)
+
+
+def commit_lagrange_many(params: ParamsKZG, evals_batch, c: int = 8):
+    """Commit B eval-form polynomials in one batched dispatch.
+
+    evals_batch: (B, n, 16) Montgomery limbs -> list of B affine points.
+    Chunked the same way as commit_lagrange (2^17 MSMs fault the TPU)."""
+    import jax.numpy as jnp
+
+    n = evals_batch.shape[1]
+    accs = None
+    for i in range(0, n, MSM_CHUNK):
+        part = msm.msm_many_mont(params.g1_lagrange[i: i + MSM_CHUNK],
+                                 evals_batch[:, i: i + MSM_CHUNK], c)
+        accs = part if accs is None else curve.add(accs, part)
+    return curve.to_affine_ints(np.asarray(accs))
 
 
 def commit_coeff(params: ParamsKZG, coeffs_mont, c: int = 8):
     """Commit a polynomial in coefficient form (may be shorter than n)."""
     m = coeffs_mont.shape[0]
-    return msm.msm_mont(params.g1[:m], coeffs_mont, c)
+    return _msm_chunked(params.g1[:m], coeffs_mont, c)
+
+
+def commit_coeff_many(params: ParamsKZG, coeffs_batch, c: int = 8):
+    """Batched coefficient-form commits -> list of affine points."""
+    m = coeffs_batch.shape[1]
+    accs = None
+    for i in range(0, m, MSM_CHUNK):
+        part = msm.msm_many_mont(params.g1[i: i + MSM_CHUNK],
+                                 coeffs_batch[:, i: i + MSM_CHUNK], c)
+        accs = part if accs is None else curve.add(accs, part)
+    return curve.to_affine_ints(np.asarray(accs))
 
 
 def to_affine(point) -> Optional[Tuple[int, int]]:
