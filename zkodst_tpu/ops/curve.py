@@ -88,8 +88,18 @@ def add(p, q):
     """Complete projective addition (RCB16 Alg. 7, a=0, b3=9).
 
     p, q: (..., 3, 16) uint32; returns p+q with identical shape. Correct for
-    every input combination including doubling and the identity. Products
-    are grouped into two stacked layers (see _stack_mul)."""
+    every input combination including doubling and the identity. On TPU
+    backends with enough lanes this routes to the fused Pallas kernel
+    (pallas/ec.py — the whole formula in VMEM, ~50× the jnp path); the code
+    below is the CPU/reference path (products grouped into two stacked
+    layers, see _stack_mul)."""
+    from .field import _pallas_wanted
+
+    if _pallas_wanted(p[..., 0, :], q[..., 0, :]):
+        from ..pallas import ec
+
+        pp, qq = jnp.broadcast_arrays(p, q)
+        return ec.ec_add(pp, qq)
     x1, y1, z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
     x2, y2, z2 = q[..., 0, :], q[..., 1, :], q[..., 2, :]
 

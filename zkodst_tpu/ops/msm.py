@@ -75,19 +75,16 @@ def _seg_scan_points(pts, starts):
     return v
 
 
-def _segmented_bucket_sums(keys, pts, c: int):
-    """Bucket sums for one window.
+def _bucket_tails(keys, scanned, c: int):
+    """Scatter per-segment totals (the scan value at each segment's last
+    row) to their digit's bucket slot.
 
-    keys: (N,) uint32 digits sorted ascending; pts: (N, 3, 16) points in the
-    same order. Returns (2^c, 3, 16) bucket sums (identity where empty)."""
-    starts = jnp.concatenate(
-        [jnp.ones((1,), bool), keys[1:] != keys[:-1]])
+    keys: (N,) sorted digits; scanned: (N, 3, 16) segmented inclusive scan.
+    Returns (2^c, 3, 16) bucket sums (identity where empty); digit 0 gets a
+    slot but weight 0 downstream."""
     ends = jnp.concatenate([keys[1:] != keys[:-1], jnp.ones((1,), bool)])
-    scanned = _seg_scan_points(pts, starts)
-    # scatter segment totals to their digit (unique indices; digit 0 included
-    # but later given weight 0). Out-of-range dump slot for non-ends.
     nb = 1 << c
-    idx = jnp.where(ends, keys, nb)
+    idx = jnp.where(ends, keys, nb)         # out-of-range dump for non-ends
     buckets = jnp.broadcast_to(curve.identity(), (nb + 1, 3, 16))
     buckets = buckets.at[idx].set(scanned, mode="drop")
     return buckets[:nb]
@@ -103,6 +100,38 @@ def _weighted_bucket_total(buckets):
     return total
 
 
+def _seg_scan_packed(pt, starts):
+    """Packed-layout segmented scan: pt (48, N), starts (N,) bool.
+
+    Rolls run on the lane-major layout; the select+add step is ONE fused
+    Pallas kernel call per level (pallas/ec.py seg_step_t)."""
+    from ..pallas import ec
+
+    n = pt.shape[1]
+    steps = max(1, (n - 1).bit_length())
+    strides = jnp.asarray([1 << s for s in range(steps)], jnp.int32)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    from .field import FQ as _FQ
+
+    idp = np.zeros((48, 1), np.uint32)
+    idp[16:32, 0] = _FQ.ONE                 # identity point: (0 : 1 : 0)
+    idp = jnp.asarray(idp)
+    f0 = starts.astype(jnp.uint32)[None, :]
+
+    def body(carry, stride):
+        v, f = carry
+        v_prev = jnp.roll(v, stride, axis=1)
+        f_prev = jnp.roll(f, stride, axis=1)
+        oob = (ids < stride)
+        v_prev = jnp.where(oob[None, :], idp, v_prev)
+        f_prev = f_prev | oob[None, :].astype(jnp.uint32)
+        v_new, f_new = ec.seg_step_t(v, v_prev, f, f_prev)
+        return (v_new, f_new), None
+
+    (v, _), _ = jax.lax.scan(body, (pt, f0), strides)
+    return v
+
+
 @partial(jax.jit, static_argnums=(2,))
 def msm(points, scalar_limbs, c: int = 8):
     """Σ_i scalar_i · P_i.
@@ -114,15 +143,29 @@ def msm(points, scalar_limbs, c: int = 8):
       c: window bits (must divide into the 16-bit limb grid: 4, 8 or 16).
 
     Returns (3, 16) projective sum."""
+    from ..ops.field import _pallas_wanted
+    from ..pallas import ec
+
     assert c in (4, 8, 16)
     nwin = (SCALAR_BITS + c - 1) // c
+    N = points.shape[0]
     digs = _digits(scalar_limbs, c, nwin)               # (nwin, N)
+    packed = _pallas_wanted(points[..., 0, :], points[..., 0, :]) \
+        and N % 512 == 0
+    pts_packed = ec.pack(points)[0] if packed else None
 
     def window_body(_, keys):
         skeys, sidx = jax.lax.sort(
             (keys, jnp.arange(keys.shape[0], dtype=jnp.uint32)), num_keys=1)
-        pts = jnp.take(points, sidx, axis=0)
-        buckets = _segmented_bucket_sums(skeys, pts, c)
+        starts = jnp.concatenate(
+            [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]])
+        if packed:
+            g = jnp.take(pts_packed, sidx, axis=1)
+            scanned = ec.unpack(_seg_scan_packed(g, starts), N)
+        else:
+            g = jnp.take(points, sidx, axis=0)
+            scanned = _seg_scan_points(g, starts)
+        buckets = _bucket_tails(skeys, scanned, c)
         return None, _weighted_bucket_total(buckets)
 
     _, win_sums = jax.lax.scan(window_body, None, digs)   # (nwin, 3, 16)

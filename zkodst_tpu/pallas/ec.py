@@ -1,0 +1,192 @@
+"""Pallas TPU kernel: fused complete G1 addition (RCB16 Alg. 7, a=0).
+
+The MSM/commitment hot loop (SURVEY.md §7 step 6). The jnp path
+(ops/curve.py `add`) costs ~55 ms per 2^16-lane call on v5e: every one of
+its ~15 Kogge–Stone field adds and stack/select ops round-trips HBM at the
+TPU-hostile (…,16) minor-dim layout. This kernel runs the whole complete
+addition — 12 Montgomery muls + 18 add/subs — on one VMEM lane-tile:
+traffic is exactly the 3×2 point tensors in + 1 out.
+
+Layout: points cross the boundary as (48, N) uint32 — the (N, 3, 16)
+projective tensor transposed/reshaped so lanes are the batch axis. The
+`ec_add()` wrapper handles packing; `ops.curve.add` routes here on TPU.
+
+Also provides the fused segmented-scan step used by the MSM bucket
+accumulation: out = f ? v : (v_prev + v), f_out = f | f_prev — folding the
+selects into the kernel removes two more full-tensor HBM round trips per
+scan level.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.field import FQ
+from .mulmod import L, _vec_add, _vec_mul, _vec_sub
+
+PV = tuple(int(x) for x in FQ.P)
+PINV = np.uint32(FQ.pinv16)
+
+
+def _load_pt(ref):
+    return ([ref[i, :] for i in range(L)],
+            [ref[L + i, :] for i in range(L)],
+            [ref[2 * L + i, :] for i in range(L)])
+
+
+def _store_pt(ref, xyz):
+    x, y, z = xyz
+    for i in range(L):
+        ref[i, :] = x[i]
+        ref[L + i, :] = y[i]
+        ref[2 * L + i, :] = z[i]
+
+
+def _ec_add_vecs(p, q, zero):
+    """Complete projective addition on register values (mirrors
+    ops/curve.py add(), same RCB16 sequence and b3 = 9)."""
+    pv = [np.uint32(v) for v in PV]
+
+    def mul(a, b):
+        return _vec_mul(a, b, pv, PINV, zero)
+
+    def add(a, b):
+        return _vec_add(a, b, pv, zero)
+
+    def sub(a, b):
+        return _vec_sub(a, b, pv, zero)
+
+    def mul9(a):
+        a2 = add(a, a)
+        a4 = add(a2, a2)
+        a8 = add(a4, a4)
+        return add(a8, a)
+
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    t0 = mul(x1, x2)
+    t1 = mul(y1, y2)
+    t2 = mul(z1, z2)
+    u1 = mul(add(x1, y1), add(x2, y2))
+    u2 = mul(add(y1, z1), add(y2, z2))
+    u3 = mul(add(x1, z1), add(x2, z2))
+    t3 = sub(u1, add(t0, t1))
+    t4 = sub(u2, add(t1, t2))
+    w3 = sub(u3, add(t0, t2))
+    t0_3 = add(add(t0, t0), t0)
+    t2_9 = mul9(t2)
+    z3p = add(t1, t2_9)
+    t1m = sub(t1, t2_9)
+    y3p = mul9(w3)
+    a = mul(t3, t1m)
+    b = mul(t4, y3p)
+    c = mul(y3p, t0_3)
+    d = mul(t1m, z3p)
+    e = mul(z3p, t4)
+    f = mul(t0_3, t3)
+    return (sub(a, b), add(c, d), add(e, f))
+
+
+def _ec_add_kernel(p_ref, q_ref, o_ref):
+    zero = jnp.zeros_like(p_ref[0, :])
+    out = _ec_add_vecs(_load_pt(p_ref), _load_pt(q_ref), zero)
+    _store_pt(o_ref, out)
+
+
+def _seg_step_kernel(p_ref, q_ref, f_ref, fp_ref, o_ref, fo_ref):
+    """Segmented-scan step: o = f ? p : p + q ; fo = f | fp.
+
+    p = current values, q = rolled-in previous values (already masked to
+    identity where out-of-range by the caller), f/fp = segment-start flags
+    as uint32 {0,1} rows of shape (1, T)."""
+    zero = jnp.zeros_like(p_ref[0, :])
+    p = _load_pt(p_ref)
+    q = _load_pt(q_ref)
+    s = _ec_add_vecs(p, q, zero)
+    f = f_ref[0, :] != 0
+    for i in range(L):
+        o_ref[i, :] = jnp.where(f, p[0][i], s[0][i])
+        o_ref[L + i, :] = jnp.where(f, p[1][i], s[1][i])
+        o_ref[2 * L + i, :] = jnp.where(f, p[2][i], s[2][i])
+    fo_ref[0, :] = (f_ref[0, :] | fp_ref[0, :]) & np.uint32(1)
+
+
+_TILE = 512
+
+
+def _grid_specs(n, rows, tile):
+    from jax.experimental import pallas as pl
+
+    return dict(grid=(n // tile,),
+                in_specs=[pl.BlockSpec((rows, tile), lambda i: (0, i))],
+                out_specs=pl.BlockSpec((rows, tile), lambda i: (0, i)))
+
+
+@jax.jit
+def ec_add_t(pt, qt):
+    """Fused complete add on (48, N) packed points."""
+    from jax.experimental import pallas as pl
+
+    n = pt.shape[1]
+    tile = min(_TILE, n)
+    assert n % tile == 0
+    return pl.pallas_call(
+        _ec_add_kernel,
+        out_shape=jax.ShapeDtypeStruct((3 * L, n), jnp.uint32),
+        grid=(n // tile,),
+        in_specs=[pl.BlockSpec((3 * L, tile), lambda i: (0, i))] * 2,
+        out_specs=pl.BlockSpec((3 * L, tile), lambda i: (0, i)),
+    )(pt, qt)
+
+
+@jax.jit
+def seg_step_t(pt, qt, f, fp):
+    """Fused segmented-scan step on packed points + (1, N) uint32 flags."""
+    from jax.experimental import pallas as pl
+
+    n = pt.shape[1]
+    tile = min(_TILE, n)
+    assert n % tile == 0
+    return pl.pallas_call(
+        _seg_step_kernel,
+        out_shape=(jax.ShapeDtypeStruct((3 * L, n), jnp.uint32),
+                   jax.ShapeDtypeStruct((1, n), jnp.uint32)),
+        grid=(n // tile,),
+        in_specs=[pl.BlockSpec((3 * L, tile), lambda i: (0, i)),
+                  pl.BlockSpec((3 * L, tile), lambda i: (0, i)),
+                  pl.BlockSpec((1, tile), lambda i: (0, i)),
+                  pl.BlockSpec((1, tile), lambda i: (0, i))],
+        out_specs=(pl.BlockSpec((3 * L, tile), lambda i: (0, i)),
+                   pl.BlockSpec((1, tile), lambda i: (0, i))),
+    )(pt, qt, f, fp)
+
+
+def pack(points):
+    """(N, 3, 16) -> (48, N) with lane padding to the tile multiple."""
+    n = points.shape[0]
+    pad = (-n) % min(_TILE, max(128, 1 << (n - 1).bit_length() if n > 1
+                                else 128))
+    if pad:
+        from ..ops import curve
+
+        idp = jnp.broadcast_to(curve.identity(), (pad, 3, 16))
+        points = jnp.concatenate([points, idp], axis=0)
+    return points.reshape(points.shape[0], 3 * L).T, n
+
+
+def unpack(pt, n):
+    return pt.T.reshape(-1, 3, L)[:n]
+
+
+def ec_add(p, q):
+    """Drop-in for ops.curve.add on (..., 3, 16) tensors."""
+    shape = p.shape
+    p2 = p.reshape(-1, 3, L)
+    q2 = jnp.broadcast_to(q, shape).reshape(-1, 3, L)
+    pt, n = pack(p2)
+    qt, _ = pack(q2)
+    return unpack(ec_add_t(pt, qt), n).reshape(shape)

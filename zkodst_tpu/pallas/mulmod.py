@@ -32,27 +32,65 @@ L = 16
 MASK = np.uint32(0xFFFF)
 
 
-def _mulmod_kernel(p_limbs, pinv16, a_ref, b_ref, o_ref):
-    """One lane-tile: a_ref/b_ref/o_ref are (16, T) uint32 in VMEM."""
-    a = [a_ref[i, :] for i in range(L)]
-    b = [b_ref[i, :] for i in range(L)]
+# ---------------------------------------------------------------------------
+# register-level field primitives: values are 16-limb LISTS of (T,) uint32
+# vectors, shared by every kernel in this package
+# ---------------------------------------------------------------------------
 
-    # schoolbook: column sums t[k] = Σ_{i+j=k} lo(pp) + Σ_{i+j=k-1} hi(pp)
-    zero = jnp.zeros_like(a[0])
+def _vec_cond_sub_p(r, pv, zero):
+    """r - p if r >= p else r (r normalized 16-bit limbs)."""
+    d = []
+    borrow = zero
+    for k in range(L):
+        v = r[k] - pv[k] - borrow              # uint32 wrap when negative
+        d.append(v & MASK)
+        borrow = v >> np.uint32(31)
+    ge = borrow == 0
+    return [jnp.where(ge, d[k], r[k]) for k in range(L)]
+
+
+def _vec_add(a, b, pv, zero):
+    """(a + b) mod p: ripple carry + conditional subtract."""
+    r = []
+    carry = zero
+    for k in range(L):
+        v = a[k] + b[k] + carry
+        r.append(v & MASK)
+        carry = v >> np.uint32(16)
+    # a+b < 2p < 2^256: carry-out is 0
+    return _vec_cond_sub_p(r, pv, zero)
+
+
+def _vec_sub(a, b, pv, zero):
+    """(a - b) mod p: ripple borrow; add p back on underflow."""
+    d = []
+    borrow = zero
+    for k in range(L):
+        v = a[k] - b[k] - borrow
+        d.append(v & MASK)
+        borrow = v >> np.uint32(31)
+    under = borrow != 0
+    r = []
+    carry = zero
+    for k in range(L):
+        v = d[k] + jnp.where(under, pv[k], zero) + carry
+        r.append(v & MASK)
+        carry = v >> np.uint32(16)
+    return r
+
+
+def _vec_mul(a, b, pv, pinv16, zero):
+    """Montgomery product (CIOS over 16-bit limb columns)."""
     t = [zero] * (2 * L + 1)
     for i in range(L):
         for j in range(L):
             pp = a[i] * b[j]                   # exact: operands < 2^16
             t[i + j] = t[i + j] + (pp & MASK)
             t[i + j + 1] = t[i + j + 1] + (pp >> np.uint32(16))
-
-    # 16 Montgomery limb eliminations (window slides down t)
-    pv = [np.uint32(x) for x in p_limbs]
     for s in range(L):
         carry = t[s] >> np.uint32(16)
         ts = t[s] & MASK
         m = (ts * pinv16) & MASK               # uint32 wrap is fine here
-        # t[s] + m*p ≡ 0 (mod 2^16); push its carry into t[s+1]
         mp0 = m * pv[0]
         carry = carry + ((ts + (mp0 & MASK)) >> np.uint32(16))
         carry = carry + (mp0 >> np.uint32(16))
@@ -61,25 +99,24 @@ def _mulmod_kernel(p_limbs, pinv16, a_ref, b_ref, o_ref):
             mp = m * pv[j]
             t[s + j] = t[s + j] + (mp & MASK)
             t[s + j + 1] = t[s + j + 1] + (mp >> np.uint32(16))
-
-    # carry-normalize the 16 result columns (value < 2p ⇒ top column clean)
     r = []
     carry = zero
     for k in range(L, 2 * L):
         v = t[k] + carry
         r.append(v & MASK)
         carry = v >> np.uint32(16)
+    return _vec_cond_sub_p(r, pv, zero)
 
-    # conditional subtract p: ripple-borrow r - p, select on the final borrow
-    d = []
-    borrow = zero
+
+def _mulmod_kernel(p_limbs, pinv16, a_ref, b_ref, o_ref):
+    """One lane-tile: a_ref/b_ref/o_ref are (16, T) uint32 in VMEM."""
+    a = [a_ref[i, :] for i in range(L)]
+    b = [b_ref[i, :] for i in range(L)]
+    zero = jnp.zeros_like(a[0])
+    pv = [np.uint32(x) for x in p_limbs]
+    out = _vec_mul(a, b, pv, pinv16, zero)
     for k in range(L):
-        v = r[k] - pv[k] - borrow              # in uint32, wraps negative
-        d.append(v & MASK)
-        borrow = (v >> np.uint32(31))           # 1 if went negative
-    ge = borrow == 0                            # r >= p
-    for k in range(L):
-        o_ref[k, :] = jnp.where(ge, d[k], r[k])
+        o_ref[k, :] = out[k]
 
 
 @partial(jax.jit, static_argnums=(0,))

@@ -331,7 +331,7 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
             num = F.mul(num, F.add(a, F.add(F.mul(bk, ident), gk)))
             den = F.mul(den, F.add(
                 a, F.add(F.mul(bk, evals[f"perm.sigma{gi}"]), gk)))
-        ratio = _mask_tail_one(F.mul(num, F.inv(den)), u)
+        ratio = _mask_tail_one(F.mul(num, F.inv_batch(den)), u)
         z, zlast = _grand_product(ratio, carry)
         carry = F.to_int(zlast)
         evals[f"perm.z{j}"] = z
@@ -342,7 +342,7 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
         a_cmp, s_cmp, ap, sp = lk_data[lk.name]
         num = F.mul(F.add(a_cmp, bk), F.add(s_cmp, gk))
         den = F.mul(F.add(ap, bk), F.add(sp, gk))
-        ratio = _mask_tail_one(F.mul(num, F.inv(den)), u)
+        ratio = _mask_tail_one(F.mul(num, F.inv_batch(den)), u)
         z, _ = _grand_product(ratio, 1)
         evals[f"{lk.name}.z"] = z
         zcols.append(z)

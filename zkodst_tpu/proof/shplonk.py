@@ -132,7 +132,7 @@ def open_claims(params: srs.ParamsKZG, dom: Domain, claims: List[Claim],
         r = _interp(cl.points, cl.evals)
         rs.append(r)
         num = DFR.sub(jnp.asarray(cl.evals_dev), _eval_on_h(r, roots))
-        zinv = DFR.inv(_zs_on_h(cl.points, roots))
+        zinv = DFR.inv_batch(_zs_on_h(cl.points, roots))
         term = DFR.mul(num, zinv)
         yk = jnp.broadcast_to(jnp.asarray(DFR.from_int(ypow)), (n, 16))
         h_ev = DFR.add(h_ev, DFR.mul(yk, term))
@@ -165,7 +165,7 @@ def open_claims(params: srs.ParamsKZG, dom: Domain, claims: List[Claim],
     l_ev = DFR.sub(l_ev, DFR.mul(ztk, h_ev))
     # h' = L / (X − z) in eval form (z ∉ H w.h.p.)
     zm = jnp.broadcast_to(jnp.asarray(DFR.from_int(z)), (n, 16))
-    hp_ev = DFR.mul(l_ev, DFR.inv(DFR.sub(roots, zm)))
+    hp_ev = DFR.mul(l_ev, DFR.inv_batch(DFR.sub(roots, zm)))
     wp_pt = srs.to_affine(srs.commit_coeff(params, dom.intt(hp_ev)))
     tw.write_point(wp_pt)
 
