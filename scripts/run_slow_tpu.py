@@ -63,6 +63,51 @@ def main() -> int:
     assert fails, "corruption went undetected"
     print(f"negative mock check PASS ({len(fails)} violations)", flush=True)
 
+    # --- EIP-152 parameter space: f=false, rounds=0/1, batching -----------
+    from zkodst_tpu.ops.blake2 import blake2f_py
+
+    f0 = np.array([False])
+    adv0, inst0 = c.witness(h, m, t, f0)
+    pub0 = np.asarray(inst0["pub"])
+    outs0 = [int(u64.to_int(pub0[bc.ROW_OUT + i])) for i in range(8)]
+    assert outs0 == blake2f_py(list(v["h"]), list(v["m"]), v["t"], False)
+    fails = mock.check(c.circ, {k: np.asarray(a) for k, a in adv0.items()},
+                       {k: np.asarray(a) for k, a in inst0.items()})
+    assert fails == [], "f=false mock check failed"
+    print("f=false variant PASS", flush=True)
+
+    for rr in (0, 1):
+        cr = bc.Blake2fCircuit(k=17, n_inst=1, rounds=rr)
+        advr, instr = cr.witness(h, m, t, f)
+        pubr = np.asarray(instr["pub"])
+        outsr = [int(u64.to_int(pubr[bc.ROW_OUT + i])) for i in range(8)]
+        assert outsr == blake2f_py(list(v["h"]), list(v["m"]), v["t"],
+                                   v["f"], rounds=rr)
+        fails = mock.check(
+            cr.circ, {k: np.asarray(a) for k, a in advr.items()},
+            {k: np.asarray(a) for k, a in instr.items()})
+        assert fails == [], f"rounds={rr} mock check failed"
+        print(f"rounds={rr} variant PASS", flush=True)
+
+    # --- batched instances (BASELINE config 3): 2 different inputs --------
+    c2 = bc.Blake2fCircuit(k=17, n_inst=2)
+    h2 = np.concatenate([h, h])
+    m2 = np.concatenate([m, m.copy()])
+    m2[1, 1] = u64.from_int(0x6162636465666768)     # different message
+    t2 = np.concatenate([t, t])
+    f2 = np.array([True, True])
+    adv2, inst2 = c2.witness(h2, m2, t2, f2)
+    pub2 = np.asarray(inst2["pub"])
+    for b in range(2):
+        outs_b = [int(u64.to_int(pub2[b * bc.R_PUB + bc.ROW_OUT + i]))
+                  for i in range(8)]
+        mm = [int(u64.to_int(m2[b, j])) for j in range(16)]
+        assert outs_b == blake2f_py(list(v["h"]), mm, v["t"], True)
+    fails = mock.check(c2.circ, {k: np.asarray(a) for k, a in adv2.items()},
+                       {k: np.asarray(a) for k, a in inst2.items()})
+    assert fails == [], "n_inst=2 mock check failed"
+    print("batched n_inst=2 PASS", flush=True)
+
     if "--skip-e2e" in sys.argv:
         return 0
 

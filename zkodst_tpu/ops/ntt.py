@@ -45,12 +45,14 @@ _FIELDS: dict = {}
 def _plan(field_key, n: int, w: int):
     """Host-side constant-geometry plan.
 
-    Returns (rev, in_idx, out_inv, tw):
+    Returns (rev, in_idx, out_inv, tw_exp, wtab):
       rev     (n,)            bit-reversal input permutation
       in_idx  (logn, n)       per-stage butterfly operand gather (U then V)
-      out_inv (logn, n)       per-stage inverse permutation of concat(plus,minus)
-      tw      (logn, n/2, L)  per-stage twiddles, Montgomery form
-    """
+      out_inv (logn, n)       per-stage inverse permutation
+      tw_exp  (logn, n/2)     per-stage twiddle EXPONENT e: twiddle = w^e
+      wtab    (n/2, L)        powers-of-w table, Montgomery form
+    Twiddles ship as exponent indices into one geometric table — building
+    per-stage limb tables costs logn× more host big-int work and HBM."""
     F = _FIELDS[field_key]
     p = F.p
     logn = n.bit_length() - 1
@@ -60,7 +62,7 @@ def _plan(field_key, n: int, w: int):
 
     in_idx = np.empty((logn, n), np.int32)
     out_inv = np.empty((logn, n), np.int32)
-    tw = np.empty((logn, n // 2), dtype=object)
+    tw_exp = np.empty((logn, n // 2), np.int32)
     k = np.arange(n // 2)
     for si, s in enumerate(range(1, logn + 1)):
         m = 1 << s
@@ -71,22 +73,76 @@ def _plan(field_key, n: int, w: int):
         in_idx[si, n // 2:] = iv
         out_inv[si, iu] = k
         out_inv[si, iv] = k + n // 2
-        wm = pow(w, n // m, p)
-        # twiddle per pair = wm^j
-        stage_tw = np.empty(n // 2, dtype=object)
-        acc = [1]
-        for _ in range(1, m // 2):
-            acc.append(acc[-1] * wm % p)
-        stage_tw[:] = [acc[int(x)] for x in j]
-        tw[si] = stage_tw
-    tw_limbs = F.from_ints(np.stack(list(tw)))  # (logn, n/2, L)
-    # NOTE: return host numpy only — this function is lru_cached and may be
-    # called inside a jit trace; caching jnp arrays would leak tracers.
+        tw_exp[si] = (n // m) * j              # twiddle = w^{(n/m)·j} < w^{n/2}
     return (bit_reverse_indices(n).astype(np.int32), in_idx, out_inv,
-            tw_limbs)
+            tw_exp)
 
 
-@partial(jax.jit, static_argnums=(0, 2))
+# device-resident plan cache: plans are passed to the jitted transform as
+# RUNTIME OPERANDS, never closed-over constants — the extended-domain
+# twiddle table is ~320 MB and embedding it as an HLO literal blows the
+# compile-request size limit (observed: axon relay HTTP 413)
+_DEV_PLANS: dict = {}
+
+
+def powers_table(F: Field, g: int, n: int):
+    """[1, g, g², …, g^{n-1}] as (n, L) Montgomery limbs, built ON DEVICE
+    by log-doubling (host builds would convert n big ints — minutes at the
+    extended-domain sizes)."""
+    arr = jnp.asarray(F.from_ints([1, g % F.p]))
+    while arr.shape[0] < n:
+        m = arr.shape[0]
+        gm = jnp.broadcast_to(jnp.asarray(F.from_int(pow(g, m, F.p))),
+                              arr.shape)
+        arr = jnp.concatenate([arr, F.mul(arr, gm)], axis=0)
+    return arr[:n]
+
+
+def _tracing() -> bool:
+    """True when called under a jit/vmap trace (then device arrays built
+    here are tracers and must not be cached)."""
+    try:
+        from jax._src import core as _core
+
+        return not _core.trace_state_clean()
+    except (ImportError, AttributeError):
+        # version-robust fallback: a fresh asarray is a Tracer iff tracing
+        probe = jnp.asarray(0, jnp.uint32)
+        return not isinstance(probe, jax.Array) or hasattr(probe, "_trace")
+
+
+def _device_plan(F: Field, n: int, w: int):
+    key = (F._key, n, w)
+    if key not in _DEV_PLANS:
+        _FIELDS[F._key] = F
+        host = _plan(F._key, n, w)
+        if _tracing():
+            # under an outer jit: everything here would be a tracer/constant
+            # of THIS trace — usable now, but must not be cached
+            return (tuple(host)
+                    + (powers_table(F, w, max(1, n // 2)),))
+        plan = tuple(jnp.asarray(x) for x in host)
+        _DEV_PLANS[key] = plan + (powers_table(F, w, max(1, n // 2)),)
+    return _DEV_PLANS[key]
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _ntt_impl(F: Field, a, rev, in_idx, out_inv, tw_exp, wtab):
+    n = a.shape[-2]
+    a = jnp.take(a, rev, axis=-2)
+
+    def stage(x, args):
+        idx, inv, exps = args
+        g = jnp.take(x, idx, axis=-2)                  # (..., n, L)
+        u, v = g[..., : n // 2, :], g[..., n // 2:, :]
+        t = F.mul(v, wtab[exps])
+        y = jnp.concatenate([F.add(u, t), F.sub(u, t)], axis=-2)
+        return jnp.take(y, inv, axis=-2), None
+
+    a, _ = jax.lax.scan(stage, a, (in_idx, out_inv, tw_exp))
+    return a
+
+
 def ntt(F: Field, a, w: int):
     """Forward NTT along axis -2.
 
@@ -100,41 +156,38 @@ def ntt(F: Field, a, w: int):
     n = a.shape[-2]
     if n == 1:
         return a
-    _FIELDS[F._key] = F
-    rev, in_idx, out_inv, tw = (jnp.asarray(x) for x in _plan(F._key, n, w))
-    a = jnp.take(a, rev, axis=-2)
-
-    def stage(x, args):
-        idx, inv, tws = args
-        g = jnp.take(x, idx, axis=-2)                  # (..., n, L)
-        u, v = g[..., : n // 2, :], g[..., n // 2:, :]
-        t = F.mul(v, tws)
-        y = jnp.concatenate([F.add(u, t), F.sub(u, t)], axis=-2)
-        return jnp.take(y, inv, axis=-2), None
-
-    a, _ = jax.lax.scan(stage, a, (in_idx, out_inv, tw))
-    return a
+    rev, in_idx, out_inv, tw_exp, wtab = _device_plan(F, n, w)
+    return _ntt_impl(F, a, rev, in_idx, out_inv, tw_exp, wtab)
 
 
-@partial(jax.jit, static_argnums=(0, 2))
 def intt(F: Field, a, w: int):
     """Inverse NTT along axis -2 (divides by n)."""
     n = a.shape[-2]
     winv = pow(w, -1, F.p)
     out = ntt(F, a, winv)
     ninv = pow(n, -1, F.p)
-    return F.mul(out, jnp.broadcast_to(jnp.asarray(F.from_int(ninv)), out.shape))
+    return F.mul(out, jnp.broadcast_to(jnp.asarray(F.from_int(ninv)),
+                                       out.shape))
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3))
+_POW_TABLES: dict = {}
+
+
+def _pow_table(F: Field, n: int, g: int):
+    key = (F._key, n, g)
+    if key not in _POW_TABLES:
+        tab = powers_table(F, g, n)
+        if _tracing():
+            return tab          # tracer: usable this trace, not cacheable
+        _POW_TABLES[key] = tab
+    return _POW_TABLES[key]
+
+
 def coset_scale(F: Field, a, g: int, inverse: bool = False):
     """Multiply coefficient i by g^i (or g^-i): maps a(X) -> a(gX)."""
     n = a.shape[-2]
     gg = pow(g, -1, F.p) if inverse else g % F.p
-    pows = [1] * n
-    for i in range(1, n):
-        pows[i] = pows[i - 1] * gg % F.p
-    return F.mul(a, jnp.asarray(F.from_ints(pows)))
+    return F.mul(a, _pow_table(F, n, gg))
 
 
 def coset_ntt(F: Field, a, w: int, g: int):

@@ -84,14 +84,12 @@ def _poly_eval(coeffs: List[int], x: int) -> int:
 
 
 @lru_cache(maxsize=4)
-def _roots_table(k: int) -> np.ndarray:
-    """ω^j for j < n, as (n, 16) Montgomery limbs (host, cached)."""
+def _roots_table(k: int):
+    """ω^j for j < n, as a device-resident (n, 16) table."""
+    from ..ops.ntt import powers_table
+
     dom = Domain(k)
-    p = FR.p
-    vals = [1] * dom.n
-    for j in range(1, dom.n):
-        vals[j] = vals[j - 1] * dom.omega % p
-    return DFR.from_ints(vals)
+    return powers_table(DFR, dom.omega, dom.n)
 
 
 def _eval_on_h(coeffs: List[int], roots) -> jnp.ndarray:
