@@ -92,3 +92,15 @@ def test_mul_const_and_predicates():
     assert list(F.to_ints(F.mul_const(A, 3))) == [x * 3 % F.p for x in a]
     assert not bool(np.any(np.asarray(F.is_zero(A))))
     assert bool(np.all(np.asarray(F.eq(A, A))))
+
+
+def test_inv_batch():
+    import jax.numpy as jnp
+    from zkodst_tpu.ops.field import FR
+
+    rng = np.random.default_rng(9)
+    vals = [int(x) | 1 for x in rng.integers(1, 1 << 62, 37)]  # nonzero
+    a = jnp.asarray(FR.from_ints(vals))
+    out = FR.to_ints(np.asarray(FR.inv_batch(a)))
+    for v, o in zip(vals, out):
+        assert int(o) == pow(v, -1, FR.py.p)
