@@ -88,6 +88,37 @@ def eval_coeffs_at(coeffs, x: int) -> int:
     return F.to_int(field_sum(F.mul(coeffs, pows)))
 
 
+@jax.jit
+def _eval_stack_at(coeffs_stack, pows):
+    """All-polys-at-one-point: (M, n, 16) × (n, 16) -> (M, 16).
+
+    One dispatch per evaluation point instead of per (poly, point) — the
+    eval phase was ~2600 eager relay round-trips."""
+    prod = F.mul(coeffs_stack, pows[None])
+    m = prod.shape[1]
+    while m > 1:
+        if m % 2:
+            prod = jnp.concatenate(
+                [prod, jnp.zeros_like(prod[:, :1])], axis=1)
+            m += 1
+        prod = F.add(prod[:, 0::2], prod[:, 1::2])
+        m //= 2
+    return prod[:, 0]
+
+
+def eval_many(coeffs_list, points):
+    """Evaluate every poly at every point: -> [M][P] host ints."""
+    stack = jnp.stack(coeffs_list)
+    cols = []
+    for pt in points:
+        pows = powers_dev(pt, stack.shape[1])
+        cols.append(_eval_stack_at(stack, pows))
+    grid = np.asarray(jnp.stack(cols, axis=1))          # (M, P, 16)
+    m, p = grid.shape[:2]
+    flat = F.to_ints(grid.reshape(m * p, 16))
+    return [[int(flat[i * p + j]) for j in range(p)] for i in range(m)]
+
+
 def _theta_compress(cols: List[jnp.ndarray], theta: int):
     acc = cols[0]
     tp = 1
@@ -132,19 +163,49 @@ def _lookup_perm_indices(in_d: np.ndarray, tb_d: np.ndarray, u: int):
     return perm_in, sperm
 
 
-def _grand_product(ratio, carry: int = 1):
-    """Z with Z[0]=carry, Z[i]=carry·∏_{j<i} ratio[j] (exclusive cumprod)."""
+def _grand_product(ratio, carry16):
+    """Z with Z[0]=carry, Z[i]=carry·∏_{j<i} ratio[j] (exclusive cumprod).
+
+    carry16: (16,) Montgomery limbs (traced — lets the caller jit)."""
     incl = _cumprod_incl(ratio)
-    ck = jnp.broadcast_to(jnp.asarray(F.from_int(carry)), ratio.shape)
+    ck = jnp.broadcast_to(carry16, ratio.shape)
     z = jnp.concatenate([ck[:1], F.mul(ck[:-1], incl[:-1])], axis=0)
     zlast = F.mul(ck[0], incl[-1])
     return z, zlast
 
 
-def _mask_tail_one(x, u: int):
-    one = jnp.broadcast_to(jnp.asarray(F.ONE), x.shape)
-    ids = jnp.arange(x.shape[0])
-    return jnp.where((ids < u)[:, None], x, one)
+@jax.jit
+def _perm_z_pass(cols, sigmas, idents, bk, gk, carry16, mask):
+    """One permutation-chunk grand product — single dispatch.
+
+    cols/sigmas/idents: (m, n, 16); bk/gk/carry16: (16,); mask: (n,) bool
+    (usable rows)."""
+    m, n, _ = cols.shape
+    one = jnp.broadcast_to(jnp.asarray(F.ONE), (n, 16))
+    num = one
+    den = one
+    bb = jnp.broadcast_to(bk, (n, 16))
+    gg = jnp.broadcast_to(gk, (n, 16))
+    for i in range(m):
+        num = F.mul(num, F.add(cols[i], F.add(F.mul(bb, idents[i]), gg)))
+        den = F.mul(den, F.add(cols[i], F.add(F.mul(bb, sigmas[i]), gg)))
+    ratio = F.mul(num, F.inv_batch(den))
+    ratio = jnp.where(mask[:, None], ratio, one)
+    return _grand_product(ratio, carry16)
+
+
+@jax.jit
+def _lookup_z_pass(a_cmp, s_cmp, ap, sp, bk, gk, mask):
+    """One lookup grand product — single dispatch."""
+    n = a_cmp.shape[0]
+    one = jnp.broadcast_to(jnp.asarray(F.ONE), (n, 16))
+    bb = jnp.broadcast_to(bk, (n, 16))
+    gg = jnp.broadcast_to(gk, (n, 16))
+    num = F.mul(F.add(a_cmp, bb), F.add(s_cmp, gg))
+    den = F.mul(F.add(ap, bb), F.add(sp, gg))
+    ratio = F.mul(num, F.inv_batch(den))
+    ratio = jnp.where(mask[:, None], ratio, one)
+    return _grand_product(ratio, jnp.asarray(F.ONE))[0]
 
 
 # ---------------------------------------------------------------------------
@@ -187,26 +248,56 @@ def rotation_point(dom: Domain, x: int, rot: int) -> int:
 # extended-domain constraint context
 # ---------------------------------------------------------------------------
 
+class _RecCtx:
+    """Dry-run context: records which (poly, rot) pairs the constraint
+    system reads (host ints, no device work)."""
+
+    def __init__(self):
+        self.names = set()
+        self.l0 = self.llast = self.active = 1
+        self.theta = self.beta = self.gamma = self.y = 1
+
+    def const(self, v):
+        return 1
+
+    def get(self, name, rot):
+        self.names.add(name)
+        return 1
+
+    def identity(self, gi):
+        return 1
+
+    def add(self, a, b):
+        return 0
+
+    def sub(self, a, b):
+        return 0
+
+    def mul(self, a, b):
+        return 0
+
+
 class _ExtCtx:
-    def __init__(self, dom: Domain, coeffs: Dict[str, jnp.ndarray],
-                 pk: ProvingKey, chal: Dict[str, int]):
+    """Jit-traceable constraint context over extended-coset tensors.
+
+    Everything per-proof (challenges, committed polys) enters as traced
+    arguments so the numerator compiles ONCE per proving key."""
+
+    def __init__(self, dom: Domain, exts: Dict[str, jnp.ndarray],
+                 sels: Dict[str, jnp.ndarray], chal: Dict[str, jnp.ndarray],
+                 xext):
         self.dom = dom
-        self.coeffs = coeffs
-        self.pk = pk
-        self._ext: Dict[str, jnp.ndarray] = {}
+        self.exts = exts
         self._rolled: Dict[Tuple[str, int], jnp.ndarray] = {}
         shape = (dom.ext_n, 16)
-        self.l0 = jnp.asarray(pk.ext_selectors["l0"])
-        self.llast = jnp.asarray(pk.ext_selectors["llast"])
-        lblind = jnp.asarray(pk.ext_selectors["lblind"])
+        self.l0 = sels["l0"]
+        self.llast = sels["llast"]
         one = jnp.broadcast_to(jnp.asarray(F.ONE), shape)
-        self.active = F.sub(F.sub(one, self.llast), lblind)
+        self.active = F.sub(F.sub(one, self.llast), sels["lblind"])
         for name in ("theta", "beta", "gamma", "y"):
-            setattr(self, name, self.const(chal[name]))
-        # X on the extended coset (for the permutation identity terms)
-        e1 = np.zeros((dom.n, 16), np.uint32)
-        e1[1] = F.ONE
-        self.xext = dom.coeff_to_extended(jnp.asarray(e1))
+            setattr(self, name,
+                    jnp.broadcast_to(chal[name], shape))
+        self.xext = xext
 
     def const(self, v: int):
         return jnp.broadcast_to(jnp.asarray(F.from_int(v)),
@@ -215,10 +306,7 @@ class _ExtCtx:
     def get(self, name: str, rot: int):
         key = (name, rot)
         if key not in self._rolled:
-            if name not in self._ext:
-                self._ext[name] = self.dom.coeff_to_extended(
-                    self.coeffs[name])
-            ext = self._ext[name]
+            ext = self.exts[name]
             self._rolled[key] = (
                 jnp.roll(ext, -rot * EXT_FACTOR, axis=0) if rot else ext)
         return self._rolled[key]
@@ -237,6 +325,19 @@ class _ExtCtx:
 
     def mul(self, a, b):
         return F.mul(a, b)
+
+
+def _quotient_fn(vk, dom: Domain):
+    """Build the once-per-key jitted quotient evaluator."""
+
+    @jax.jit
+    def fn(exts, sels, chal, xext):
+        ctx = _ExtCtx(dom, exts, sels, chal, xext)
+        numer = constraints.fold_y(
+            ctx, constraints.enumerate_constraints(vk, ctx))
+        return F.mul(numer, sels["zh_inv"])
+
+    return fn
 
 
 # ---------------------------------------------------------------------------
@@ -309,41 +410,34 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
 
     beta = tw.squeeze_challenge()
     gamma = tw.squeeze_challenge()
-    bk = jnp.broadcast_to(jnp.asarray(F.from_int(beta)), (n, 16))
-    gk = jnp.broadcast_to(jnp.asarray(F.from_int(gamma)), (n, 16))
+    bk = jnp.asarray(F.from_int(beta))
+    gk = jnp.asarray(F.from_int(gamma))
+    mask = jnp.arange(n) < u
 
-    # --- phase 3a: permutation grand products -------------------------------
+    # --- phase 3a: permutation grand products (one dispatch per chunk) ------
     delta_pows = [pow(DELTA, i, PFR.p) for i in range(len(vk.perm_cols))]
-    carry = 1
-    nz = len(vk.perm_chunks)
+    carry16 = jnp.asarray(F.ONE)
     col_of = {c: i for i, c in enumerate(vk.perm_cols)}
     roots = pk.roots
     zcols = []
     for j, chunk in enumerate(vk.perm_chunks):
-        num = jnp.broadcast_to(jnp.asarray(F.ONE), (n, 16))
-        den = num
-        for c in chunk:
-            gi = col_of[c]
-            a = evals[c]
-            dk = jnp.broadcast_to(
-                jnp.asarray(F.from_int(delta_pows[gi])), (n, 16))
-            ident = F.mul(dk, roots)
-            num = F.mul(num, F.add(a, F.add(F.mul(bk, ident), gk)))
-            den = F.mul(den, F.add(
-                a, F.add(F.mul(bk, evals[f"perm.sigma{gi}"]), gk)))
-        ratio = _mask_tail_one(F.mul(num, F.inv_batch(den)), u)
-        z, zlast = _grand_product(ratio, carry)
-        carry = F.to_int(zlast)
+        gis = [col_of[c] for c in chunk]
+        cols = jnp.stack([evals[c] for c in chunk])
+        sigmas = jnp.stack([evals[f"perm.sigma{gi}"] for gi in gis])
+        idents = jnp.stack([
+            F.mul(jnp.broadcast_to(
+                jnp.asarray(F.from_int(delta_pows[gi])), (n, 16)), roots)
+            for gi in gis])
+        z, zlast = _perm_z_pass(cols, sigmas, idents, bk, gk, carry16,
+                                mask)
+        carry16 = zlast
         evals[f"perm.z{j}"] = z
         zcols.append(z)
 
-    # --- phase 3b: lookup grand products -------------------------------------
+    # --- phase 3b: lookup grand products (one dispatch each) ----------------
     for lk in circ.lookups:
         a_cmp, s_cmp, ap, sp = lk_data[lk.name]
-        num = F.mul(F.add(a_cmp, bk), F.add(s_cmp, gk))
-        den = F.mul(F.add(ap, bk), F.add(sp, gk))
-        ratio = _mask_tail_one(F.mul(num, F.inv_batch(den)), u)
-        z, _ = _grand_product(ratio, 1)
+        z = _lookup_z_pass(a_cmp, s_cmp, ap, sp, bk, gk, mask)
         evals[f"{lk.name}.z"] = z
         zcols.append(z)
     # transcript order: permutation Z's then lookup Z's (one batched MSM)
@@ -352,17 +446,28 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
 
     y = tw.squeeze_challenge()
 
-    # --- phase 4: quotient ----------------------------------------------------
+    # --- phase 4: quotient (one jitted dispatch for the numerator) -----------
     coeffs = dict(pk.fixed_coeffs)
     for i, sc in enumerate(pk.sigma_coeffs):
         coeffs[f"perm.sigma{i}"] = sc
     for name, ev in evals.items():
         if name not in coeffs:
             coeffs[name] = dom.intt(ev)
-    ctx = _ExtCtx(dom, coeffs, pk,
-                  dict(theta=theta, beta=beta, gamma=gamma, y=y))
-    numer = constraints.fold_y(ctx, constraints.enumerate_constraints(vk, ctx))
-    h_ext = F.mul(numer, jnp.asarray(pk.ext_selectors["zh_inv"]))
+    if not hasattr(pk, "_needed_names"):
+        rec = _RecCtx()
+        constraints.enumerate_constraints(vk, rec)
+        pk._needed_names = sorted(rec.names)
+        e1 = np.zeros((n, 16), np.uint32)
+        e1[1] = F.ONE
+        pk._xext = dom.coeff_to_extended(jnp.asarray(e1))
+        pk._sels_dev = {k: jnp.asarray(v)
+                        for k, v in pk.ext_selectors.items()}
+        pk._quotient = _quotient_fn(vk, dom)
+    exts = {name: dom.coeff_to_extended(coeffs[name])
+            for name in pk._needed_names}
+    chal_dev = {k: jnp.asarray(F.from_int(v)) for k, v in
+                dict(theta=theta, beta=beta, gamma=gamma, y=y).items()}
+    h_ext = pk._quotient(exts, pk._sels_dev, chal_dev, pk._xext)
     h_coeff = dom.extended_to_coeff(h_ext)             # (4n, 16)
     for i in range(EXT_FACTOR):
         chunk = h_coeff[i * n:(i + 1) * n]
@@ -374,15 +479,16 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
 
     x = tw.squeeze_challenge()
 
-    # --- phase 5: evaluations --------------------------------------------------
+    # --- phase 5: evaluations (batched: one dispatch per distinct point) ----
     sched = query_schedule(vk)
+    all_rots = sorted({r for _, rots in sched for r in rots})
+    rot_pos = {r: i for i, r in enumerate(all_rots)}
+    grid = eval_many([coeffs[name] for name, _ in sched],
+                     [rotation_point(dom, x, r) for r in all_rots])
     claims = []
-    for name, rots in sched:
-        pts, evs = [], []
-        for r in rots:
-            pt = rotation_point(dom, x, r)
-            pts.append(pt)
-            evs.append(eval_coeffs_at(coeffs[name], pt))
+    for i, (name, rots) in enumerate(sched):
+        pts = [rotation_point(dom, x, r) for r in rots]
+        evs = [grid[i][rot_pos[r]] for r in rots]
         for e in evs:
             tw.write_scalar(e)
         claims.append(shplonk.Claim(tuple(pts), tuple(evs),

@@ -27,6 +27,7 @@ from dataclasses import dataclass
 from functools import lru_cache
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -113,28 +114,86 @@ def _zs_on_h(points: Sequence[int], roots) -> jnp.ndarray:
     return acc
 
 
+def _sum_axis0(x):
+    """Field sum over axis 0 of (C, n, 16) by pairwise halving."""
+    c = x.shape[0]
+    while c > 1:
+        if c % 2:
+            x = jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+            c += 1
+        x = DFR.add(x[0::2], x[1::2])
+        c //= 2
+    return x[0]
+
+
+@jax.jit
+def _h_pass(evs, rcoef, plimbs, pmask, ypows, roots):
+    """h(X) eval form: Σ y^i (f_i − r_i)/Z_{S_i} — ONE dispatch.
+
+    evs (C,n,16) claim eval forms; rcoef (C,S,16) interpolant coeffs (zero-
+    padded); plimbs (C,S,16) + pmask (C,S) the padded point sets; ypows
+    (C,16) the y^i weights."""
+    C, n, _ = evs.shape
+    S = rcoef.shape[1]
+    acc = jnp.zeros_like(evs)
+    for j in range(S - 1, -1, -1):                 # Horner; pad coeffs = 0
+        acc = DFR.mul(acc, jnp.broadcast_to(roots[None], evs.shape))
+        acc = DFR.add(acc, jnp.broadcast_to(rcoef[:, j, None, :],
+                                            evs.shape))
+    num = DFR.sub(evs, acc)
+    one = jnp.broadcast_to(jnp.asarray(DFR.ONE), evs.shape)
+    zs = one
+    for j in range(S):
+        diff = DFR.sub(jnp.broadcast_to(roots[None], evs.shape),
+                       jnp.broadcast_to(plimbs[:, j, None, :], evs.shape))
+        diff = jnp.where(pmask[:, j, None, None], diff, one)
+        zs = DFR.mul(zs, diff)
+    zinv = DFR.inv_batch(zs.reshape(C * n, 16)).reshape(C, n, 16)
+    term = DFR.mul(DFR.mul(num, zinv),
+                   jnp.broadcast_to(ypows[:, None, :], evs.shape))
+    return _sum_axis0(term)
+
+
+@jax.jit
+def _l_pass(evs, cks, constk, ztzk, h_ev, roots, zk):
+    """h'(X) eval form: (Σ c_i f_i − const − Z_T(z)h) / (X−z) — ONE dispatch."""
+    term = DFR.mul(jnp.broadcast_to(cks[:, None, :], evs.shape), evs)
+    l_ev = _sum_axis0(term)
+    l_ev = DFR.sub(l_ev, jnp.broadcast_to(constk, l_ev.shape))
+    l_ev = DFR.sub(l_ev, DFR.mul(
+        jnp.broadcast_to(ztzk, l_ev.shape), h_ev))
+    zm = jnp.broadcast_to(zk, l_ev.shape)
+    return DFR.mul(l_ev, DFR.inv_batch(DFR.sub(roots, zm)))
+
+
 def open_claims(params: srs.ParamsKZG, dom: Domain, claims: List[Claim],
                 tw) -> None:
-    """Prover: writes W, W' to the transcript."""
+    """Prover: writes W, W' to the transcript (two jitted device passes +
+    two commitments)."""
     p = FR.p
     n = dom.n
-    roots = jnp.asarray(_roots_table(dom.k))
+    roots = _roots_table(dom.k)
+    C = len(claims)
+    S = max(len(cl.points) for cl in claims)
 
     y = tw.squeeze_challenge()
 
-    # h(X) = Σ y^i (f_i − r_i) / Z_{S_i}, built in eval form over H
-    h_ev = jnp.zeros((n, 16), jnp.uint32)
-    ypow = 1
-    rs = []
-    for cl in claims:
-        r = _interp(cl.points, cl.evals)
-        rs.append(r)
-        num = DFR.sub(jnp.asarray(cl.evals_dev), _eval_on_h(r, roots))
-        zinv = DFR.inv_batch(_zs_on_h(cl.points, roots))
-        term = DFR.mul(num, zinv)
-        yk = jnp.broadcast_to(jnp.asarray(DFR.from_int(ypow)), (n, 16))
-        h_ev = DFR.add(h_ev, DFR.mul(yk, term))
-        ypow = ypow * y % p
+    evs = jnp.stack([jnp.asarray(cl.evals_dev) for cl in claims])
+    rs = [_interp(cl.points, cl.evals) for cl in claims]
+    rcoef = DFR.from_ints(
+        [[r[j] if j < len(r) else 0 for j in range(S)] for r in rs])
+    plimbs = DFR.from_ints(
+        [[cl.points[j] if j < len(cl.points) else 0 for j in range(S)]
+         for cl in claims])
+    pmask = np.asarray([[j < len(cl.points) for j in range(S)]
+                        for cl in claims])
+    ypows_i = [1] * C
+    for i in range(1, C):
+        ypows_i[i] = ypows_i[i - 1] * y % p
+    ypows = DFR.from_ints(ypows_i)
+
+    h_ev = _h_pass(evs, jnp.asarray(rcoef), jnp.asarray(plimbs),
+                   jnp.asarray(pmask), jnp.asarray(ypows), roots)
     w_pt = srs.to_affine(srs.commit_coeff(params, dom.intt(h_ev)))
     tw.write_point(w_pt)
 
@@ -143,27 +202,20 @@ def open_claims(params: srs.ParamsKZG, dom: Domain, claims: List[Claim],
     zt_z = 1
     for s in t_all:
         zt_z = zt_z * (z - s) % p
-
-    l_ev = jnp.zeros((n, 16), jnp.uint32)
-    const = 0
-    ypow = 1
-    for cl, r in zip(claims, rs):
+    cs, const = [], 0
+    for i, (cl, r) in enumerate(zip(claims, rs)):
         zts = 1
         for s in t_all:
             if s not in cl.points:
                 zts = zts * (z - s) % p
-        c = ypow * zts % p
-        ck = jnp.broadcast_to(jnp.asarray(DFR.from_int(c)), (n, 16))
-        l_ev = DFR.add(l_ev, DFR.mul(ck, jnp.asarray(cl.evals_dev)))
+        c = ypows_i[i] * zts % p
+        cs.append(c)
         const = (const + c * _poly_eval(r, z)) % p
-        ypow = ypow * y % p
-    l_ev = DFR.sub(l_ev, jnp.broadcast_to(
-        jnp.asarray(DFR.from_int(const)), (n, 16)))
-    ztk = jnp.broadcast_to(jnp.asarray(DFR.from_int(zt_z)), (n, 16))
-    l_ev = DFR.sub(l_ev, DFR.mul(ztk, h_ev))
-    # h' = L / (X − z) in eval form (z ∉ H w.h.p.)
-    zm = jnp.broadcast_to(jnp.asarray(DFR.from_int(z)), (n, 16))
-    hp_ev = DFR.mul(l_ev, DFR.inv_batch(DFR.sub(roots, zm)))
+
+    hp_ev = _l_pass(evs, jnp.asarray(DFR.from_ints(cs)),
+                    jnp.asarray(DFR.from_int(const)),
+                    jnp.asarray(DFR.from_int(zt_z)), h_ev, roots,
+                    jnp.asarray(DFR.from_int(z)))
     wp_pt = srs.to_affine(srs.commit_coeff(params, dom.intt(hp_ev)))
     tw.write_point(wp_pt)
 
