@@ -468,7 +468,10 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
     chal_dev = {k: jnp.asarray(F.from_int(v)) for k, v in
                 dict(theta=theta, beta=beta, gamma=gamma, y=y).items()}
     h_ext = pk._quotient(exts, pk._sels_dev, chal_dev, pk._xext)
+    exts = None          # ~1.5 GB of extended tensors — free before commits
+    lk_data = None
     h_coeff = dom.extended_to_coeff(h_ext)             # (4n, 16)
+    h_ext = None
     for i in range(EXT_FACTOR):
         chunk = h_coeff[i * n:(i + 1) * n]
         coeffs[f"h{i}"] = chunk
@@ -485,6 +488,7 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
     rot_pos = {r: i for i, r in enumerate(all_rots)}
     grid = eval_many([coeffs[name] for name, _ in sched],
                      [rotation_point(dom, x, r) for r in all_rots])
+    coeffs = None        # only eval forms are needed from here on
     claims = []
     for i, (name, rots) in enumerate(sched):
         pts = [rotation_point(dom, x, r) for r in rots]
