@@ -237,9 +237,10 @@ def verify_claims(params: srs.ParamsKZG, dom: Domain, claims: List[Claim],
     for s in t_all:
         zt_z = zt_z * (z - s) % p
 
-    # L_com = Σ y^i Z_{T∖S_i}(z)·C_i − [const]·G − Z_T(z)·W
+    # L_com = Σ y^i Z_{T∖S_i}(z)·C_i − [const]·G − Z_T(z)·W  (+ z·W'),
+    # combined as ONE host MSM (native C++ core when available)
     g1 = pycurve.G1
-    acc = None
+    pts, scs = [], []
     const = 0
     ypow = 1
     for cl in claims:
@@ -248,13 +249,14 @@ def verify_claims(params: srs.ParamsKZG, dom: Domain, claims: List[Claim],
             if s not in cl.points:
                 zts = zts * (z - s) % p
         c = ypow * zts % p
-        acc = g1.add(acc, g1.mul(cl.commitment, c))
+        pts.append(cl.commitment)
+        scs.append(c)
         r = _interp(cl.points, cl.evals)
         const = (const + c * _poly_eval(r, z)) % p
         ypow = ypow * y % p
-    acc = g1.add(acc, g1.mul(pycurve.G1_GEN, (-const) % p))
-    acc = g1.add(acc, g1.mul(w_pt, (-zt_z) % p))
+    pts += [pycurve.G1_GEN, w_pt, wp_pt]
+    scs += [(-const) % p, (-zt_z) % p, z]
+    lhs = pairing.g1_msm(pts, scs)
     # e(L_com + z·W', G2) == e(W', [τ]G2)
-    lhs = g1.add(acc, g1.mul(wp_pt, z))
     return pairing.pairing_check(
         [(lhs, params.g2), (g1.neg(wp_pt), params.s_g2)])
