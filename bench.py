@@ -64,7 +64,8 @@ def bench_prove() -> dict:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from zkodst_tpu import api
 
-    pipe = api.setup_blake2f(k=17, n_inst=1, cache_dir=".zkodst_cache",
+    B = int(os.environ.get("ZKODST_BENCH_INSTANCES", "37"))
+    pipe = api.setup_blake2f(k=17, n_inst=B, cache_dir=".zkodst_cache",
                              echo=False)
     h, m, t, f = api.eip152_inputs(pipe.n_inst)
     pipe.prove(h, m, t, f, seed=1)                 # warm (compiles cached)
@@ -73,10 +74,11 @@ def bench_prove() -> dict:
     dt = time.perf_counter() - t0
     assert pipe.verify(inst, proof), "benchmark proof failed verification"
     return {
-        "metric": "blake2f_prove",
+        "metric": "blake2f_prove_throughput",
         "value": round(pipe.n_inst / dt, 4),
-        "unit": "proofs/s",
-        "vs_baseline": round(BASELINE_PROVE_S / dt, 2),
+        "unit": "instances/s",
+        # vs the first working prover: 1 instance per 809.6 s
+        "vs_baseline": round((pipe.n_inst / dt) * BASELINE_PROVE_S, 1),
     }
 
 

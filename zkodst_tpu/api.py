@@ -39,11 +39,12 @@ class Blake2fProver:
     def prove(self, h, m, t, f, seed: int = 0) -> Tuple[bytes, dict]:
         """h (B,8,2), m (B,16,2), t (B,2,2), f (B,) -> (proof, instance)."""
         with self.metrics.phase(PROVE):
-            adv, inst = self.built.witness(h, m, t, f)
-            adv = {k: np.asarray(v) for k, v in adv.items()}
-            inst = {k: np.asarray(v) for k, v in inst.items()}
+            with self.metrics.phase("prove.witness"):
+                adv, inst = self.built.witness(h, m, t, f)
+                adv = {k: np.asarray(v) for k, v in adv.items()}
+                inst = {k: np.asarray(v) for k, v in inst.items()}
             proof = prover.create_proof(self.params, self.pk, adv, inst,
-                                        seed=seed)
+                                        seed=seed, metrics=self.metrics)
         return proof, inst
 
     def verify(self, instance: dict, proof: bytes) -> bool:

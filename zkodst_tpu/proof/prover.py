@@ -347,8 +347,16 @@ def _quotient_fn(vk, dom: Domain):
 def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
                  advice_u64: Dict[str, np.ndarray],
                  instance_u64: Dict[str, np.ndarray],
-                 seed: int = 0) -> bytes:
+                 seed: int = 0, metrics=None) -> bytes:
+    """metrics: optional utils.timing.Metrics — records prove sub-phases
+    (the reference's ark_std timer granularity, SURVEY.md §5.1). Phase ends
+    are driven by the transcript's host syncs, so timings are honest."""
+    import contextlib
     import random
+
+    def phase(label):
+        return (metrics.phase(f"prove.{label}") if metrics is not None
+                else contextlib.nullcontext())
 
     vk = pk.vk
     circ = vk.circ
@@ -382,13 +390,17 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
         evals[f"perm.sigma{i}"] = se
 
     # --- phase 1: advice commitments (one batched MSM dispatch) -------------
-    for pt in srs.commit_lagrange_many(
-            params, jnp.stack([evals[n] for n in circ.advice_names]), MSM_C):
-        tw.write_point(pt)
+    with phase("advice_commit"):
+        for pt in srs.commit_lagrange_many(
+                params, jnp.stack([evals[n] for n in circ.advice_names]),
+                MSM_C):
+            tw.write_point(pt)
 
     theta = tw.squeeze_challenge()
 
     # --- phase 2: lookup permutations ---------------------------------------
+    lk_phase = phase("lookup_permute")
+    lk_phase.__enter__()
     lk_data = {}
     lk_cols = []
     for lk in circ.lookups:
@@ -407,6 +419,7 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
         for pt in srs.commit_lagrange_many(params, jnp.stack(lk_cols),
                                            MSM_C):
             tw.write_point(pt)
+    lk_phase.__exit__(None, None, None)
 
     beta = tw.squeeze_challenge()
     gamma = tw.squeeze_challenge()
@@ -441,12 +454,15 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
         evals[f"{lk.name}.z"] = z
         zcols.append(z)
     # transcript order: permutation Z's then lookup Z's (one batched MSM)
-    for pt in srs.commit_lagrange_many(params, jnp.stack(zcols), MSM_C):
-        tw.write_point(pt)
+    with phase("grand_products_commit"):
+        for pt in srs.commit_lagrange_many(params, jnp.stack(zcols), MSM_C):
+            tw.write_point(pt)
 
     y = tw.squeeze_challenge()
 
     # --- phase 4: quotient (one jitted dispatch for the numerator) -----------
+    q_phase = phase("quotient")
+    q_phase.__enter__()
     coeffs = dict(pk.fixed_coeffs)
     for i, sc in enumerate(pk.sigma_coeffs):
         coeffs[f"perm.sigma{i}"] = sc
@@ -479,6 +495,7 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
     for pt in srs.commit_coeff_many(
             params, h_coeff.reshape(EXT_FACTOR, n, 16), MSM_C):
         tw.write_point(pt)
+    q_phase.__exit__(None, None, None)
 
     x = tw.squeeze_challenge()
 
@@ -486,8 +503,9 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
     sched = query_schedule(vk)
     all_rots = sorted({r for _, rots in sched for r in rots})
     rot_pos = {r: i for i, r in enumerate(all_rots)}
-    grid = eval_many([coeffs[name] for name, _ in sched],
-                     [rotation_point(dom, x, r) for r in all_rots])
+    with phase("evaluations"):
+        grid = eval_many([coeffs[name] for name, _ in sched],
+                         [rotation_point(dom, x, r) for r in all_rots])
     coeffs = None        # only eval forms are needed from here on
     claims = []
     for i, (name, rots) in enumerate(sched):
@@ -499,5 +517,6 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
                                     evals_dev=evals[name]))
 
     # --- phase 6: multiopen ------------------------------------------------------
-    shplonk.open_claims(params, dom, claims, tw)
+    with phase("multiopen"):
+        shplonk.open_claims(params, dom, claims, tw)
     return tw.finalize()
