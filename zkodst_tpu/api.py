@@ -41,7 +41,8 @@ class Blake2fProver:
         with self.metrics.phase(PROVE):
             with self.metrics.phase("prove.witness"):
                 adv, inst = self.built.witness(h, m, t, f)
-                adv = {k: np.asarray(v) for k, v in adv.items()}
+                # instance values cross to the host (transcript hashing);
+                # advice stays device-resident
                 inst = {k: np.asarray(v) for k, v in inst.items()}
             proof = prover.create_proof(self.params, self.pk, adv, inst,
                                         seed=seed, metrics=self.metrics)

@@ -189,10 +189,20 @@ class Field:
     # ring ops (Montgomery form in, Montgomery form out)
     # ------------------------------------------------------------------
     def add(self, a, b):
+        if _pallas_wanted(a, b):
+            from ..pallas.mulmod import add_limbs_pallas
+
+            aa, bb = jnp.broadcast_arrays(jnp.asarray(a), jnp.asarray(b))
+            return add_limbs_pallas(self, aa, bb)
         s, _ = self._ks_carry(a + b)   # a+b < 2p < 2^256: no carry-out
         return self._cond_sub_p(s)
 
     def sub(self, a, b):
+        if _pallas_wanted(a, b):
+            from ..pallas.mulmod import sub_limbs_pallas
+
+            aa, bb = jnp.broadcast_arrays(jnp.asarray(a), jnp.asarray(b))
+            return sub_limbs_pallas(self, aa, bb)
         d, no_borrow = self._ks_sub(a, b)
         dp, _ = self._ks_carry(d + jnp.asarray(self.P))  # wraps mod 2^256
         return jnp.where((no_borrow == 1)[..., None], d, dp)

@@ -119,19 +119,34 @@ def _mulmod_kernel(p_limbs, pinv16, a_ref, b_ref, o_ref):
         o_ref[k, :] = out[k]
 
 
-@partial(jax.jit, static_argnums=(0,))
-def mulmod_t(F: Field, at, bt):
-    """Montgomery product on limb-major (16, N) uint32 tensors."""
+def _addmod_kernel(p_limbs, a_ref, b_ref, o_ref):
+    a = [a_ref[i, :] for i in range(L)]
+    b = [b_ref[i, :] for i in range(L)]
+    zero = jnp.zeros_like(a[0])
+    pv = [np.uint32(x) for x in p_limbs]
+    out = _vec_add(a, b, pv, zero)
+    for k in range(L):
+        o_ref[k, :] = out[k]
+
+
+def _submod_kernel(p_limbs, a_ref, b_ref, o_ref):
+    a = [a_ref[i, :] for i in range(L)]
+    b = [b_ref[i, :] for i in range(L)]
+    zero = jnp.zeros_like(a[0])
+    pv = [np.uint32(x) for x in p_limbs]
+    out = _vec_sub(a, b, pv, zero)
+    for k in range(L):
+        o_ref[k, :] = out[k]
+
+
+def _binop_t(kern_builder, F: Field, at, bt):
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     n = at.shape[1]
     tile = min(n, 2048)
     assert n % tile == 0, (n, tile)
-    kern = partial(_mulmod_kernel, tuple(int(x) for x in F.P),
-                   np.uint32(F.pinv16))
     return pl.pallas_call(
-        kern,
+        kern_builder(F),
         out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
         grid=(n // tile,),
         in_specs=[pl.BlockSpec((L, tile), lambda i: (0, i)),
@@ -140,10 +155,30 @@ def mulmod_t(F: Field, at, bt):
     )(at, bt)
 
 
-def mul_limbs_pallas(F: Field, a, b):
-    """Drop-in for Field.mul on (…, 16) tensors via the Pallas kernel.
+@partial(jax.jit, static_argnums=(0,))
+def mulmod_t(F: Field, at, bt):
+    """Montgomery product on limb-major (16, N) uint32 tensors."""
+    return _binop_t(
+        lambda F: partial(_mulmod_kernel, tuple(int(x) for x in F.P),
+                          np.uint32(F.pinv16)), F, at, bt)
 
-    Pads the flattened lane axis up to the tile multiple."""
+
+@partial(jax.jit, static_argnums=(0,))
+def addmod_t(F: Field, at, bt):
+    return _binop_t(
+        lambda F: partial(_addmod_kernel, tuple(int(x) for x in F.P)),
+        F, at, bt)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def submod_t(F: Field, at, bt):
+    return _binop_t(
+        lambda F: partial(_submod_kernel, tuple(int(x) for x in F.P)),
+        F, at, bt)
+
+
+def _apply_binop(op_t, F: Field, a, b):
+    """Shared (…,16) wrapper: flatten lanes, pad to the tile multiple."""
     shape = a.shape
     a2 = a.reshape(-1, L)
     b2 = jnp.broadcast_to(b, shape).reshape(-1, L)
@@ -153,7 +188,20 @@ def mul_limbs_pallas(F: Field, a, b):
     if pad:
         a2 = jnp.concatenate([a2, jnp.zeros((pad, L), jnp.uint32)])
         b2 = jnp.concatenate([b2, jnp.zeros((pad, L), jnp.uint32)])
-    out = mulmod_t(F, a2.T, b2.T).T
+    out = op_t(F, a2.T, b2.T).T
     if pad:
         out = out[:n]
     return out.reshape(shape)
+
+
+def mul_limbs_pallas(F: Field, a, b):
+    """Drop-in for Field.mul on (…, 16) tensors via the Pallas kernel."""
+    return _apply_binop(mulmod_t, F, a, b)
+
+
+def add_limbs_pallas(F: Field, a, b):
+    return _apply_binop(addmod_t, F, a, b)
+
+
+def sub_limbs_pallas(F: Field, a, b):
+    return _apply_binop(submod_t, F, a, b)

@@ -460,15 +460,16 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
 
     y = tw.squeeze_challenge()
 
-    # --- phase 4: quotient (one jitted dispatch for the numerator) -----------
+    # --- phase 4: quotient (batched NTTs + one numerator dispatch) -----------
     q_phase = phase("quotient")
     q_phase.__enter__()
     coeffs = dict(pk.fixed_coeffs)
     for i, sc in enumerate(pk.sigma_coeffs):
         coeffs[f"perm.sigma{i}"] = sc
-    for name, ev in evals.items():
-        if name not in coeffs:
-            coeffs[name] = dom.intt(ev)
+    new_names = [nm for nm in evals if nm not in coeffs]
+    intt_stack = dom.intt(jnp.stack([evals[nm] for nm in new_names]))
+    for i, nm in enumerate(new_names):
+        coeffs[nm] = intt_stack[i]
     if not hasattr(pk, "_needed_names"):
         rec = _RecCtx()
         constraints.enumerate_constraints(vk, rec)
@@ -479,8 +480,16 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
         pk._sels_dev = {k: jnp.asarray(v)
                         for k, v in pk.ext_selectors.items()}
         pk._quotient = _quotient_fn(vk, dom)
-    exts = {name: dom.coeff_to_extended(coeffs[name])
-            for name in pk._needed_names}
+    # extend in groups (one dispatch per ~15 polys; full-stack transients
+    # push past HBM)
+    exts = {}
+    G = 15
+    for i in range(0, len(pk._needed_names), G):
+        grp = pk._needed_names[i: i + G]
+        ext_grp = dom.coeff_to_extended(
+            jnp.stack([coeffs[nm] for nm in grp]))
+        for j, nm in enumerate(grp):
+            exts[nm] = ext_grp[j]
     chal_dev = {k: jnp.asarray(F.from_int(v)) for k, v in
                 dict(theta=theta, beta=beta, gamma=gamma, y=y).items()}
     h_ext = pk._quotient(exts, pk._sels_dev, chal_dev, pk._xext)

@@ -127,10 +127,10 @@ def setup(k: int, seed: int = 0) -> ParamsKZG:
                      g2=pycurve.G2_GEN, s_g2=s_g2)
 
 
-# MSMs above 2^16 points reliably crash the TPU worker (XLA kernel fault,
-# reproduced at exactly n=2^17 on v5e/axon); chunk and tree-add instead —
-# every chunk shares one compiled shape.
-MSM_CHUNK = 1 << 16
+# Chunk very large MSMs and tree-add the partials. (A 2^17 MSM used to
+# fault the TPU worker via the jnp segmented-scan path; the packed Pallas
+# path handles 2^17 directly, so the chunk size only bounds transients.)
+MSM_CHUNK = 1 << 17
 
 
 def _msm_chunked(points, scalars_mont, c: int):
