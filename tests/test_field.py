@@ -104,3 +104,40 @@ def test_inv_batch():
     out = FR.to_ints(np.asarray(FR.inv_batch(a)))
     for v, o in zip(vals, out):
         assert int(o) == pow(v, -1, FR.py.p)
+
+
+def test_pasta_pallas_base_generic():
+    """The limb engine is modulus-generic: the reference circuit crate's
+    default field (pallas::Base, table16.rs:93-98) works unchanged."""
+    import jax.numpy as jnp
+    from zkodst_tpu.ops.field import Field
+    from zkodst_tpu.ops.pyfield import PALLAS_BASE, PF
+
+    FP = Field(PALLAS_BASE, "pallas_base")
+    py = PF(PALLAS_BASE)
+    rng = np.random.default_rng(12)
+    av = [int(x) for x in rng.integers(0, 1 << 62, 16)]
+    bv = [int(x) for x in rng.integers(0, 1 << 62, 16)]
+    a, b = jnp.asarray(FP.from_ints(av)), jnp.asarray(FP.from_ints(bv))
+    got = FP.to_ints(np.asarray(jax.jit(FP.mul)(a, b)))
+    for x, y, g in zip(av, bv, got):
+        assert int(g) == py.mul(x, y)
+    got = FP.to_ints(np.asarray(jax.jit(FP.sub)(a, b)))
+    for x, y, g in zip(av, bv, got):
+        assert int(g) == py.sub(x, y)
+
+
+def test_pasta_ntt_roundtrip():
+    import jax.numpy as jnp
+    from zkodst_tpu.ops import ntt as nttmod
+    from zkodst_tpu.ops.field import Field
+    from zkodst_tpu.ops.pyfield import PALLAS_BASE, PF
+
+    FP = Field(PALLAS_BASE, "pallas_base")
+    py = PF(PALLAS_BASE)
+    w = py.root_of_unity(4)
+    rng = np.random.default_rng(13)
+    vals = [int(x) for x in rng.integers(0, 1 << 62, 16)]
+    a = jnp.asarray(FP.from_ints(vals))
+    back = FP.to_ints(np.asarray(nttmod.intt(FP, nttmod.ntt(FP, a, w), w)))
+    assert [int(x) for x in back] == vals

@@ -269,7 +269,11 @@ class _Layout:
                      spread=[e.spread[(i + o) % 4] for i in range(4)])
 
     def const_word(self, value: int) -> WordH:
-        return WordH(word=self._cst(value))
+        # spreads included: at rounds=0 the c-lane IV constants flow
+        # straight into the finalize XORs (EIP-152 allows rounds=0)
+        return WordH(word=self._cst(value),
+                     spread=[self._cst(spread_int(l))
+                             for l in _limbs16_int(value)])
 
     def const_spread_word(self, value: int) -> WordH:
         return WordH(spread=[self._cst(spread_int(l))
