@@ -100,11 +100,9 @@ def _weighted_bucket_total(buckets):
     return total
 
 
-def _seg_scan_packed(pt, starts):
-    """Packed-layout segmented scan: pt (48, N), starts (N,) bool.
-
-    Rolls run on the lane-major layout; the select+add step is ONE fused
-    Pallas kernel call per level (pallas/ec.py seg_step_t)."""
+def _seg_scan_packed_flat(pt, starts):
+    """Single-level packed segmented scan (used for cross-tile aggregates
+    and as the small-N path): one fused Pallas step per level."""
     from ..pallas import ec
 
     n = pt.shape[1]
@@ -130,6 +128,47 @@ def _seg_scan_packed(pt, starts):
 
     (v, _), _ = jax.lax.scan(body, (pt, f0), strides)
     return v
+
+
+def _seg_scan_packed(pt, starts):
+    """Two-level packed segmented scan: pt (48, N), starts (N,) bool.
+
+    Phase 1 runs the whole intra-tile scan in ONE Pallas kernel pass
+    (VMEM-resident, log2(T) fused levels); phase 2 scans the n/T tile
+    aggregates with the flat path; phase 3 is one seg-step applying the
+    exclusive tile carries. ~2 full-array passes instead of log2(N)."""
+    from ..pallas import ec
+    from .field import FQ as _FQ
+
+    n = pt.shape[1]
+    tile = 2048
+    if n < 2 * tile or n % tile != 0:
+        return _seg_scan_packed_flat(pt, starts)
+
+    f0 = starts.astype(jnp.uint32)[None, :]
+    v_loc, _ = ec.seg_scan_tiles(pt, f0)
+    agg = v_loc[:, tile - 1::tile]              # tile aggregates (last lanes)
+    ntiles = agg.shape[1]
+    # "segment start at-or-before i within the tile" — NOT the kernel's
+    # internal boundary flag (which saturates to 1): within-tile prefix-OR
+    within = jnp.cumsum(
+        starts.reshape(ntiles, tile).astype(jnp.uint32), axis=1) > 0
+    f_loc_true = within.reshape(1, -1).astype(jnp.uint32)
+    aggf = within[:, -1]                        # tile contains a start
+
+    incl = _seg_scan_packed_flat(agg, aggf)             # (48, ntiles)
+    idp = np.zeros((48, 1), np.uint32)
+    idp[16:32, 0] = _FQ.ONE
+    carry = jnp.concatenate([jnp.asarray(idp), incl[:, :-1]], axis=1)
+    fc = jnp.concatenate(
+        [jnp.zeros((1,), jnp.uint32),
+         jnp.cumsum(aggf[:-1].astype(jnp.uint32))])[None, :]
+    fc = (fc > 0).astype(jnp.uint32)
+
+    carry_full = jnp.repeat(carry, tile, axis=1)        # (48, N)
+    fc_full = jnp.repeat(fc, tile, axis=1)
+    out, _ = ec.seg_step_t(v_loc, carry_full, f_loc_true, fc_full)
+    return out
 
 
 @partial(jax.jit, static_argnums=(2,))

@@ -118,6 +118,74 @@ def _seg_step_kernel(p_ref, q_ref, f_ref, fp_ref, o_ref, fo_ref):
 _TILE = 2048   # measured best on v5e (2.78 ms/seg-step at 2^17 vs 3.59 at 512)
 
 
+def _seg_scan_tile_kernel(p_ref, f_ref, o_ref, fo_ref):
+    """Tile-local segmented inclusive scan, ALL log2(T) levels in VMEM.
+
+    The two-level MSM scan's phase 1: within one lane tile, run the
+    Hillis–Steele segmented scan to completion (fori_loop body = one
+    complete EC add + selects; shift amount is the loop carry, so the add
+    graph is instantiated once). Tile aggregates are the last lane of each
+    tile — the caller slices them out (a (48,1) output block would violate
+    the mosaic lane-divisibility rule)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    T = p_ref.shape[1]
+    zero = jnp.zeros_like(p_ref[0:1, :])                 # (1, T)
+    idy = [np.uint32(x) for x in np.asarray(FQ.ONE)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+
+    # statically unrolled levels; all values kept 2D (1, T) — mosaic can't
+    # lower 1D rolls/concats — and flags stay uint32 VALUES (i1-valued
+    # vectors don't lower; booleans appear only as select predicates)
+    vs = [p_ref[i:i + 1, :] for i in range(3 * L)]
+    fl = f_ref[0:1, :] & np.uint32(1)
+    steps = max(1, (T - 1).bit_length())
+    for it in range(steps):
+        s = 1 << it
+        oob = lane < s
+        rows = []
+        for r in range(3 * L):
+            rolled = pltpu.roll(vs[r], shift=s, axis=1)
+            fill = idy[r - L] if L <= r < 2 * L else np.uint32(0)
+            rows.append(jnp.where(oob, fill, rolled))
+        fp = jnp.where(oob, np.uint32(1), pltpu.roll(fl, shift=s, axis=1))
+        p = (vs[:L], vs[L:2 * L], vs[2 * L:])
+        q = (rows[:L], rows[L:2 * L], rows[2 * L:])
+        sadd = _ec_add_vecs(p, q, zero)
+        keep = fl != 0
+        vs = [jnp.where(keep, vs[c * L + i], sadd[c][i])
+              for c in range(3) for i in range(L)]
+        fl = fl | fp
+    for r in range(3 * L):
+        o_ref[r:r + 1, :] = vs[r]
+    fo_ref[0:1, :] = fl
+
+
+@jax.jit
+def seg_scan_tiles(pt, f):
+    """Phase 1 of the two-level segmented scan.
+
+    pt (48, N) packed points, f (1, N) uint32 flags ->
+    (local_scan (48, N), scanned_flags (1, N)); aggregates live at lanes
+    tile-1, 2·tile-1, … of the outputs."""
+    from jax.experimental import pallas as pl
+
+    n = pt.shape[1]
+    tile = min(_TILE, n)
+    assert n % tile == 0
+    ntiles = n // tile
+    return pl.pallas_call(
+        _seg_scan_tile_kernel,
+        out_shape=(jax.ShapeDtypeStruct((3 * L, n), jnp.uint32),
+                   jax.ShapeDtypeStruct((1, n), jnp.uint32)),
+        grid=(ntiles,),
+        in_specs=[pl.BlockSpec((3 * L, tile), lambda i: (0, i)),
+                  pl.BlockSpec((1, tile), lambda i: (0, i))],
+        out_specs=(pl.BlockSpec((3 * L, tile), lambda i: (0, i)),
+                   pl.BlockSpec((1, tile), lambda i: (0, i))),
+    )(pt, f)
+
+
 def _grid_specs(n, rows, tile):
     from jax.experimental import pallas as pl
 
