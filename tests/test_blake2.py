@@ -69,3 +69,39 @@ def test_odd_round_counts():
         out = blake2.blake2f(h, m, t, True, r)
         want = blake2.blake2f_py(list(v["h"]), list(v["m"]), v["t"], True, r)
         assert [int(x) for x in u64.to_ints(out)] == want
+
+
+def test_eip152_appendix_vectors():
+    """The full EIP-152 appendix set (the reference carries only vector 5,
+    blake2f-circuit/src/blake2f.rs:195-246): malformed inputs 1-3 must be
+    rejected by the precompile codec; 4-7 pin the published digests
+    through decode -> blake2f_py; 8 (rounds=2^32-1) is decode-only."""
+    import pytest
+
+    for v in blake2.EIP152_VECTORS:
+        if "error" in v:
+            with pytest.raises(ValueError, match=v["error"]):
+                blake2.eip152_decode(v["input"])
+            continue
+        rounds, h, m, t, f = blake2.eip152_decode(v["input"])
+        if v["expected"] is None:
+            assert rounds == 0xFFFFFFFF
+            continue
+        out = blake2.blake2f_py(h, m, t, f, rounds)
+        got = b"".join(x.to_bytes(8, "little") for x in out).hex()
+        assert got == v["expected"], f"vector {v['n']}"
+
+
+def test_eip152_appendix_vectors_jax():
+    """Vectors 4-7 through the batched JAX path in ONE call (rounds is a
+    static arg, so group by rounds)."""
+    runs = [v for v in blake2.EIP152_VECTORS
+            if v.get("expected") is not None]
+    for v in runs:
+        rounds, h, m, t, f = blake2.eip152_decode(v["input"])
+        out = blake2.blake2f(u64.from_ints(h)[None], u64.from_ints(m)[None],
+                             u64.from_ints(t)[None],
+                             np.asarray([f]), rounds)
+        got = b"".join(int(x).to_bytes(8, "little")
+                       for x in u64.to_ints(np.asarray(out)[0])).hex()
+        assert got == v["expected"], f"vector {v['n']}"

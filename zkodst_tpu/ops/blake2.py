@@ -219,3 +219,68 @@ EIP152_VECTOR = dict(
         "ba80a53f981c4d0d6a2797b69f12f6e94c212f14685ac4b74b12bb6fdbffa2d1"
         "7d87c5392aab792dc252d5de4533cc9518d38aa8dbf1925ab92386edd4009923"),
 )
+
+
+# ---------------------------------------------------------------------------
+# EIP-152 precompile interface + full appendix vector set
+# ---------------------------------------------------------------------------
+
+EIP152_INPUT_LEN = 213   # 4 (rounds, BE) + 64 (h) + 128 (m) + 16 (t) + 1 (f)
+
+
+def eip152_encode(rounds: int, h, m, t, f: bool) -> bytes:
+    """Encode F inputs as the EIP-152 precompile call data (213 bytes)."""
+    out = rounds.to_bytes(4, "big")
+    out += b"".join(x.to_bytes(8, "little") for x in h)
+    out += b"".join(x.to_bytes(8, "little") for x in m)
+    out += t[0].to_bytes(8, "little") + t[1].to_bytes(8, "little")
+    out += bytes([1 if f else 0])
+    return out
+
+
+def eip152_decode(data: bytes):
+    """Parse + validate EIP-152 precompile input -> (rounds, h, m, t, f).
+
+    Raises ValueError on the malformed-input classes of EIP-152 appendix
+    vectors 1–3 (wrong length; final-block flag not 0/1)."""
+    if len(data) != EIP152_INPUT_LEN:
+        raise ValueError(f"input length {len(data)} != {EIP152_INPUT_LEN}")
+    rounds = int.from_bytes(data[0:4], "big")
+    h = [int.from_bytes(data[4 + 8 * i: 12 + 8 * i], "little")
+         for i in range(8)]
+    m = [int.from_bytes(data[68 + 8 * i: 76 + 8 * i], "little")
+         for i in range(16)]
+    t = (int.from_bytes(data[196:204], "little"),
+         int.from_bytes(data[204:212], "little"))
+    if data[212] not in (0, 1):
+        raise ValueError(f"final-block flag must be 0 or 1, got {data[212]}")
+    return rounds, h, m, t, data[212] == 1
+
+
+def _v5_input(rounds=12, f=True) -> bytes:
+    v = EIP152_VECTOR
+    return eip152_encode(rounds, v["h"], v["m"], v["t"], f)
+
+
+# The full EIP-152 appendix test-vector set (the reference carries only
+# vector 5, blake2f-circuit/src/blake2f.rs:195-246). Vectors 1–3 are the
+# malformed-input classes re-encoded from the canonical fields (short
+# input / long input / invalid flag); 4–8 pin the published digests.
+# Vector 8 (rounds=2^32−1) is decode-only here: it exists to bound gas,
+# not to be executed.
+EIP152_VECTORS = [
+    dict(n=1, input=_v5_input()[:-1], error="input length"),
+    dict(n=2, input=_v5_input() + b"\x00", error="input length"),
+    dict(n=3, input=_v5_input()[:-1] + b"\x02", error="final-block flag"),
+    dict(n=4, input=_v5_input(rounds=0), expected=(
+        "08c9bcf367e6096a3ba7ca8485ae67bb2bf894fe72f36e3cf1361d5f3af54fa5"
+        "d282e6ad7f520e511f6c3e2b8c68059b9442be0454267ce079217e1319cde05b")),
+    dict(n=5, input=_v5_input(), expected=EIP152_VECTOR["expected"]),
+    dict(n=6, input=_v5_input(f=False), expected=(
+        "75ab69d3190a562c51aef8d88f1c2775876944407270c42c9844252c26d28752"
+        "98743e7f6d5ea2f2d3e8d226039cd31b4e426ac4f2d3d666a610c2116fde4735")),
+    dict(n=7, input=_v5_input(rounds=1), expected=(
+        "b63a380cb2897d521994a85234ee2c181b5f844d2c624c002677e9703449d2fb"
+        "a551b3a8333bcdf5f2f7e08993d53923de3d64fcc68c034e717b9293fed7a421")),
+    dict(n=8, input=_v5_input(rounds=0xFFFFFFFF), expected=None),
+]

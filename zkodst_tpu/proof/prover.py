@@ -347,12 +347,17 @@ def _quotient_fn(vk, dom: Domain):
 def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
                  advice_u64: Dict[str, np.ndarray],
                  instance_u64: Dict[str, np.ndarray],
-                 seed: int = 0, metrics=None) -> bytes:
+                 seed: int | None = None, metrics=None) -> bytes:
     """metrics: optional utils.timing.Metrics — records prove sub-phases
     (the reference's ark_std timer granularity, SURVEY.md §5.1). Phase ends
-    are driven by the transcript's host syncs, so timings are honest."""
+    are driven by the transcript's host syncs, so timings are honest.
+
+    seed: None (default) draws blinding factors from OS entropy
+    (`secrets`) — the production ZK path. Passing an int gives
+    deterministic blinding for tests/golden fixtures only."""
     import contextlib
     import random
+    import secrets
 
     def phase(label):
         return (metrics.phase(f"prove.{label}") if metrics is not None
@@ -362,7 +367,19 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
     circ = vk.circ
     dom = Domain(circ.k)
     n, u = dom.n, circ.usable_rows
-    rng = random.Random(("zkodst-blind", seed).__repr__())
+    if seed is None:
+        rng = random.Random(secrets.token_bytes(32))
+    else:
+        rng = random.Random(("zkodst-blind", seed).__repr__())
+
+    def blind_tail(ev):
+        """Overwrite the BLINDING_ROWS tail rows (u+1 … n−1 — never read
+        by an active constraint) with fresh randoms: halo2 blinds lookup
+        A'/S'/Z and permutation Z the same way (`plonk::lookup::prover`
+        semantics, SURVEY.md §2.3 N9)."""
+        blinds = F.from_ints([rng.randrange(PFR.p)
+                              for _ in range(BLINDING_ROWS)])
+        return ev.at[n - BLINDING_ROWS:].set(jnp.asarray(blinds))
     tw = Blake2bWrite()
     vk.hash_into(tw)
 
@@ -376,11 +393,8 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
     # --- field forms; blind the advice tail with full-width randoms --------
     evals: Dict[str, jnp.ndarray] = {}
     for name in circ.advice_names:
-        ev = u64_cols_to_field(F, jnp.asarray(advice_u64[name]))
-        blinds = F.from_ints([rng.randrange(PFR.p)
-                              for _ in range(BLINDING_ROWS)])
-        ev = ev.at[n - BLINDING_ROWS:].set(jnp.asarray(blinds))
-        evals[name] = ev
+        evals[name] = blind_tail(
+            u64_cols_to_field(F, jnp.asarray(advice_u64[name])))
     for name in circ.instance_names:
         evals[name] = u64_cols_to_field(
             F, jnp.asarray(np.asarray(instance_u64[name], np.uint32)))
@@ -409,8 +423,8 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
         in_d = jnp.asarray(advice_u64[lk.input_cols[0]])[:, 0]
         tb_d = jnp.asarray(circ.fixed[lk.table_cols[0]])[:, 0]
         pi, pt = _lookup_perm_indices(in_d, tb_d, u)
-        ap = a_cmp[pi]
-        sp = s_cmp[pt]
+        ap = blind_tail(a_cmp[pi])
+        sp = blind_tail(s_cmp[pt])
         evals[f"{lk.name}.a_perm"] = ap
         evals[f"{lk.name}.s_perm"] = sp
         lk_data[lk.name] = (a_cmp, s_cmp, ap, sp)
@@ -444,13 +458,14 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
         z, zlast = _perm_z_pass(cols, sigmas, idents, bk, gk, carry16,
                                 mask)
         carry16 = zlast
+        z = blind_tail(z)
         evals[f"perm.z{j}"] = z
         zcols.append(z)
 
     # --- phase 3b: lookup grand products (one dispatch each) ----------------
     for lk in circ.lookups:
         a_cmp, s_cmp, ap, sp = lk_data[lk.name]
-        z = _lookup_z_pass(a_cmp, s_cmp, ap, sp, bk, gk, mask)
+        z = blind_tail(_lookup_z_pass(a_cmp, s_cmp, ap, sp, bk, gk, mask))
         evals[f"{lk.name}.z"] = z
         zcols.append(z)
     # transcript order: permutation Z's then lookup Z's (one batched MSM)
