@@ -143,6 +143,20 @@ def _ntt_impl(F: Field, a, rev, in_idx, out_inv, tw_exp, wtab):
     return a
 
 
+def _pallas_ntt_wanted(n: int) -> bool:
+    """Route big TPU transforms through the fused butterfly kernels
+    (pallas/ntt.py); keep the scan path for CPU tests and tiny domains."""
+    import os
+
+    if os.environ.get("ZKODST_NO_PALLAS"):
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:  # noqa: BLE001
+        return False
+    return backend in ("tpu", "axon") and n >= 1024
+
+
 def ntt(F: Field, a, w: int):
     """Forward NTT along axis -2.
 
@@ -156,6 +170,10 @@ def ntt(F: Field, a, w: int):
     n = a.shape[-2]
     if n == 1:
         return a
+    if _pallas_ntt_wanted(n):
+        from ..pallas.ntt import ntt_pallas
+
+        return ntt_pallas(F, a, w)
     rev, in_idx, out_inv, tw_exp, wtab = _device_plan(F, n, w)
     return _ntt_impl(F, a, rev, in_idx, out_inv, tw_exp, wtab)
 

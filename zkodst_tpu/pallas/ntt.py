@@ -1,0 +1,200 @@
+"""Pallas TPU kernel: fused radix-2 NTT butterflies (limb-major layout).
+
+TPU-native replacement for the `lax.scan` constant-geometry NTT in
+ops/ntt.py — the hot loop of the reference's `halo2_proofs::poly::
+EvaluationDomain` FFT (SURVEY.md §2.3 N7). The scan path pays, per stage,
+two full-array gathers on (n, 16)-layout tensors (8× lane padding) plus
+transposes around every Pallas field op; at k=17+quotient sizes that made
+the NTT content of the quotient/commit phases the dominant prover cost
+(docs/PERF.md round 1).
+
+Design — no gathers at all:
+
+* Data is limb-major ``(B, 16, n)`` uint32: limbs on sublanes, the domain
+  on lanes. One bit-reversal permutation + transpose on entry (XLA copy),
+  then classic in-place DIT stages, small stride → large stride.
+* **Tail stages (half-block h < TILE)** run in ONE kernel per NTT: each
+  grid program keeps a (16, TILE) slab in VMEM and applies all
+  log2(TILE) stages back-to-back with `pltpu.roll` lane shifts — the
+  butterfly partner is always within the slab because 2h ≤ TILE.
+  Twiddles for all tail stages ship as one (stages, 16, TILE)
+  VMEM-resident stack (tables are h-periodic, pre-tiled).
+* **Head stages (h ≥ TILE)** use a rank-5 *view* (B, 16, n/2h, 2, h):
+  blocking the size-2 axis puts the u and v butterfly operands in the
+  same VMEM block at the same lane offset — the "gather" is a BlockSpec.
+  One kernel launch per head stage, (16, Ta) lane tiles.
+
+Montgomery arithmetic reuses the register-level limb primitives from
+pallas/mulmod.py (16×16-bit limbs, CIOS reduction), so each stage is a
+single fused VMEM pass: ~24 MB of HBM traffic per stage at k=17 versus
+~10 full-array round-trips for the scan path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.field import Field
+from .mulmod import L, _vec_add, _vec_mul, _vec_sub
+
+TILE = 2048          # tail-kernel slab (lanes); also the head-stage lane tile
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _roll_rows(rows, shift: int, width: int):
+    """Roll each (T,) limb row along lanes (shift may be negative)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    s = shift % width
+    return [pltpu.roll(r.reshape(1, -1), s, 1).reshape(-1) for r in rows]
+
+
+def _tail_kernel(p_limbs, pinv16, stages: int, x_ref, tw_ref, o_ref):
+    """All stages h = 1 … 2^(stages-1) on one (16, T) VMEM slab.
+
+    tw_ref: (stages, 16, T) — row s holds w^{(n/2h)·(j mod h)} at lane j
+    (h = 2^s), i.e. the stage table pre-tiled to the slab width."""
+    T = x_ref.shape[2]
+    zero = jnp.zeros((T,), jnp.uint32)
+    pv = [np.uint32(v) for v in p_limbs]
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (1, T), 1).reshape(-1)
+    x = [x_ref[0, i, :] for i in range(L)]
+    for s in range(stages):
+        h = 1 << s
+        tw = [tw_ref[s, i, :] for i in range(L)]
+        xv = _roll_rows(x, -h, T)                    # at u-lane j: x[j+h]
+        t = _vec_mul(xv, tw, pv, pinv16, zero)       # w·v   (at u lanes)
+        plus = _vec_add(x, t, pv, zero)              # u + w·v
+        minus = _vec_sub(x, t, pv, zero)             # u − w·v
+        md = _roll_rows(minus, h, T)                 # at v-lane j+h: minus[j]
+        is_u = (lane & np.uint32(h)) == 0
+        x = [jnp.where(is_u, plus[i], md[i]) for i in range(L)]
+    for i in range(L):
+        o_ref[0, i, :] = x[i]
+
+
+def _head_kernel(p_limbs, pinv16, x_ref, tw_ref, o_ref):
+    """One h ≥ TILE stage; x_ref (1, 16, 1, 2, Ta): [...,0,:]=u, [...,1,:]=v."""
+    zero = jnp.zeros((x_ref.shape[-1],), jnp.uint32)
+    pv = [np.uint32(v) for v in p_limbs]
+    u = [x_ref[0, i, 0, 0, :] for i in range(L)]
+    v = [x_ref[0, i, 0, 1, :] for i in range(L)]
+    tw = [tw_ref[i, :] for i in range(L)]
+    t = _vec_mul(v, tw, pv, pinv16, zero)
+    plus = _vec_add(u, t, pv, zero)
+    minus = _vec_sub(u, t, pv, zero)
+    for i in range(L):
+        o_ref[0, i, 0, 0, :] = plus[i]
+        o_ref[0, i, 0, 1, :] = minus[i]
+
+
+# ---------------------------------------------------------------------------
+# twiddle / permutation plans (device-resident, cached per (field, n, w))
+# ---------------------------------------------------------------------------
+
+_PLANS: dict = {}
+
+
+def _bitrev(n: int) -> np.ndarray:
+    logn = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros_like(idx)
+    for b in range(logn):
+        rev |= ((idx >> b) & 1) << (logn - 1 - b)
+    return rev.astype(np.int32)
+
+
+def _plan(F: Field, n: int, w: int):
+    """(rev, tail_tw (sB,16,T'), [head_tw (16,h)] for h=T'…n/2)."""
+    from ..ops.ntt import powers_table
+
+    key = (F._key, n, w)
+    if key in _PLANS:
+        return _PLANS[key]
+    T = min(TILE, n)
+    g = powers_table(F, w, max(1, n // 2)).T         # (16, n/2): w^j
+    tails = []
+    for s in range(T.bit_length() - 1):              # h = 1 … T/2
+        h = 1 << s
+        th = jax.lax.slice(g, (0, 0), (L, h * (n // (2 * h))),
+                           (1, n // (2 * h)))        # (16, h) strided
+        tails.append(jnp.tile(th, (1, T // h)))
+    tail_tw = jnp.stack(tails) if tails else jnp.zeros((0, L, T), jnp.uint32)
+    heads = []
+    h = T
+    while h <= n // 2:
+        heads.append(jax.lax.slice(g, (0, 0), (L, h * (n // (2 * h))),
+                                   (1, n // (2 * h))))
+        h *= 2
+    plan = (jnp.asarray(_bitrev(n)), tail_tw, heads)
+    from ..ops.ntt import _tracing
+
+    if not _tracing():
+        _PLANS[key] = plan
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _ntt_limb_major(F: Field, xt, n: int, rev, tail_tw, *head_tws):
+    """DIT NTT on (B, 16, n) limb-major tensors (input natural order)."""
+    from jax.experimental import pallas as pl
+
+    B = xt.shape[0]
+    xt = jnp.take(xt, rev, axis=2)                   # bit-reverse lanes
+    T = min(TILE, n)
+    p_limbs = tuple(int(v) for v in F.P)
+    pinv16 = np.uint32(F.pinv16)
+    stages = T.bit_length() - 1
+    if stages:
+        xt = pl.pallas_call(
+            partial(_tail_kernel, p_limbs, pinv16, stages),
+            out_shape=jax.ShapeDtypeStruct((B, L, n), jnp.uint32),
+            grid=(B, n // T),
+            in_specs=[
+                pl.BlockSpec((1, L, T), lambda b, c: (b, 0, c)),
+                pl.BlockSpec((tail_tw.shape[0], L, T),
+                             lambda b, c: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, L, T), lambda b, c: (b, 0, c)),
+        )(xt.reshape(B, L, n), tail_tw).reshape(B, L, n)
+    h = T
+    for tw in head_tws:
+        nb = n // (2 * h)
+        xv = xt.reshape(B, L, nb, 2, h)
+        Ta = min(h, TILE)
+        xt = pl.pallas_call(
+            partial(_head_kernel, p_limbs, pinv16),
+            out_shape=jax.ShapeDtypeStruct((B, L, nb, 2, h), jnp.uint32),
+            grid=(B, nb, h // Ta),
+            in_specs=[
+                pl.BlockSpec((1, L, 1, 2, Ta),
+                             lambda b, i, j: (b, 0, i, 0, j)),
+                pl.BlockSpec((L, Ta), lambda b, i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((1, L, 1, 2, Ta),
+                                   lambda b, i, j: (b, 0, i, 0, j)),
+        )(xv, tw).reshape(B, L, n)
+        h *= 2
+    return xt
+
+
+def ntt_pallas(F: Field, a, w: int):
+    """Forward NTT along axis -2 of (..., n, 16) tensors (natural order
+    in and out) — drop-in for ops.ntt.ntt's device path."""
+    shape = a.shape
+    n = shape[-2]
+    rev, tail_tw, heads = _plan(F, n, w)
+    xt = jnp.moveaxis(a.reshape(-1, n, L), -1, 1)    # (B, 16, n)
+    out = _ntt_limb_major(F, xt, n, rev, tail_tw, *heads)
+    return jnp.moveaxis(out, 1, -1).reshape(shape)
