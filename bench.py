@@ -82,14 +82,22 @@ def bench_prove() -> dict:
     pipe.prove(h, m, t, f, seed=1)            # warm-up (pays any compiles)
     warmup_s = time.perf_counter() - t0
     times, proof, inst = [], None, None
+    from zkodst_tpu.utils.timing import profiler_trace
+
     for i in range(n_timed):
+        # ZKODST_PROFILE=<dir>: capture a Perfetto/XPlane device trace of
+        # the LAST timed prove (per-kernel timeline — SURVEY.md §5.1)
+        prof_dir = (os.environ.get("ZKODST_PROFILE")
+                    if i == n_timed - 1 else None)
         t0 = time.perf_counter()
-        proof, inst = pipe.prove(h, m, t, f, seed=2 + i)
+        with profiler_trace(prof_dir):
+            proof, inst = pipe.prove(h, m, t, f, seed=2 + i)
         times.append(round(time.perf_counter() - t0, 2))
     dt = min(times)
     t0 = time.perf_counter()
     assert pipe.verify(inst, proof), "benchmark proof failed verification"
     verify_s = time.perf_counter() - t0
+    mock_s = _flagship_circuit_check(pipe, h, m, t, f)
     phases = {}
     for ph in pipe.metrics.phases:          # keep the LAST timed prove's
         if ph.label.startswith("prove."):
@@ -108,8 +116,35 @@ def bench_prove() -> dict:
             "verify_s": round(verify_s, 3),
             "srs_cache_hit": srs_cached,
             "last_prove_phases_s": phases,
+            "mock_check_s": mock_s,
         },
     }
+
+
+def _flagship_circuit_check(pipe, h, m, t, f) -> float:
+    """Driver-visible k=17 circuit regression gate: the mock (MockProver-
+    equivalent) check must pass on the honest witness and FAIL on a
+    corrupted cell — a gate/witness-generator regression breaks the bench
+    run instead of shipping invisibly. EIP-152 parity is implied: the
+    witness binds the digest to the instance column via copy constraints
+    (checked here) and the proof above verified against that instance."""
+    import numpy as np
+
+    from zkodst_tpu.circuit import mock
+
+    t0 = time.perf_counter()
+    adv, inst = pipe.witness(h, m, t, f)
+    adv = {k: np.asarray(v) for k, v in adv.items()}
+    inst = {k: np.asarray(v) for k, v in inst.items()}
+    assert mock.check(pipe.built.circ, adv, inst) == [], \
+        "flagship circuit mock check FAILED on the honest witness"
+    col = pipe.built.circ.advice_names[0]
+    rows = np.nonzero(adv[col][:, 0])[0]
+    bad = {k: (v.copy() if k == col else v) for k, v in adv.items()}
+    bad[col][int(rows[len(rows) // 2]), 0] ^= 1
+    assert mock.check(pipe.built.circ, bad, inst), \
+        "mock check MISSED a corrupted witness cell (negative test)"
+    return round(time.perf_counter() - t0, 2)
 
 
 def main() -> None:

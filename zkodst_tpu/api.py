@@ -28,6 +28,8 @@ class Blake2fProver:
     params: srs.ParamsKZG
     pk: keygen_mod.ProvingKey
     metrics: Metrics
+    mesh: object = None              # jax Mesh → multi-chip prover
+    mesh_axis: object = "x"
 
     @property
     def n_inst(self) -> int:
@@ -45,7 +47,9 @@ class Blake2fProver:
                 # advice stays device-resident
                 inst = {k: np.asarray(v) for k, v in inst.items()}
             proof = prover.create_proof(self.params, self.pk, adv, inst,
-                                        seed=seed, metrics=self.metrics)
+                                        seed=seed, metrics=self.metrics,
+                                        mesh=self.mesh,
+                                        mesh_axis=self.mesh_axis)
         return proof, inst
 
     def verify(self, instance: dict, proof: bytes) -> bool:
@@ -63,8 +67,12 @@ class Blake2fProver:
 
 def setup_blake2f(k: int = 17, n_inst: int = 1, rounds: int = 12,
                   srs_seed: int = 0, cache_dir: Optional[str] = None,
-                  echo: bool = True) -> Blake2fProver:
-    """Build circuit + SRS + keys ([Setup generation] phase)."""
+                  echo: bool = True, mesh=None,
+                  mesh_axis="x") -> Blake2fProver:
+    """Build circuit + SRS + keys ([Setup generation] phase).
+
+    mesh: optional jax.sharding.Mesh — proofs then run the multi-chip
+    path (sharded commits / 4-step NTT / carry-folded grand products)."""
     metrics = Metrics(echo=echo)
     with metrics.phase(SETUP):
         built = blake2f_circuit.Blake2fCircuit(k=k, n_inst=n_inst,
@@ -74,7 +82,8 @@ def setup_blake2f(k: int = 17, n_inst: int = 1, rounds: int = 12,
         else:
             params = srs.setup(k, seed=srs_seed)
         pk = keygen_mod.keygen(params, built.circ, cache_dir=cache_dir)
-    return Blake2fProver(built=built, params=params, pk=pk, metrics=metrics)
+    return Blake2fProver(built=built, params=params, pk=pk, metrics=metrics,
+                         mesh=mesh, mesh_axis=mesh_axis)
 
 
 def eip152_inputs(n_inst: int = 1):

@@ -91,14 +91,20 @@ def check(circ: CircuitDef,
         if rows.size:
             failures.append(Failure("gate", g.name, rows))
 
-    # --- lookups (host-side set membership on u64 values) -----------------
+    # --- lookups (vectorized multiset membership: rows packed to void keys,
+    # np.isin — the Python-set version took minutes at 2^17 rows) -----------
     usable = circ.usable_rows
+
+    def _rowkeys(cols):
+        packed = np.ascontiguousarray(
+            np.stack(cols, axis=1))                 # (rows, c, 2) uint32
+        return packed.reshape(packed.shape[0], -1).view(
+            [("", np.uint32)] * (2 * len(cols))).ravel()
+
     for lk in circ.lookups:
-        tbl_cols = [u64.to_ints(cols_u64[c]) for c in lk.table_cols]
-        table = set(zip(*(c.tolist() for c in tbl_cols)))
-        in_cols = [u64.to_ints(cols_u64[c][:usable]) for c in lk.input_cols]
-        rows = np.array([i for i, tup in enumerate(
-            zip(*(c.tolist() for c in in_cols))) if tup not in table])
+        tkeys = _rowkeys([cols_u64[c] for c in lk.table_cols])
+        ikeys = _rowkeys([cols_u64[c][:usable] for c in lk.input_cols])
+        rows = np.nonzero(~np.isin(ikeys, tkeys))[0]
         if rows.size:
             failures.append(Failure("lookup", lk.name, rows))
 

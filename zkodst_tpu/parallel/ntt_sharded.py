@@ -123,3 +123,91 @@ def to_natural(out, n1: int) -> jnp.ndarray:
     n = out.shape[0]
     n2 = n // n1
     return jnp.transpose(out.reshape(n1, n2, 16), (1, 0, 2)).reshape(n, 16)
+
+
+# ---------------------------------------------------------------------------
+# batched, natural-order wrappers — the create_proof(mesh=...) entry points
+# ---------------------------------------------------------------------------
+
+def _factor(n: int, ndev: int, n1: int | None):
+    if n1 is None:
+        n1 = 1 << ((n.bit_length() - 1) // 2)
+        while n1 % ndev or (n // n1) % ndev:
+            n1 <<= 1
+    n2 = n // n1
+    assert n1 * n2 == n and n1 % ndev == 0 and n2 % ndev == 0, (n, n1, ndev)
+    return n1, n2
+
+
+def ntt_sharded_nat(F: Field, a, w: int, mesh: Mesh, axis="x",
+                    n1: int | None = None):
+    """Batched 4-step NTT with natural-order input AND output.
+
+    a: (..., n, 16) coefficient stacks (any leading dims). All butterfly
+    stages are chip-local; the single inter-chip exchange is the tiled
+    all_to_all; the final k1<->k2 transpose to natural order runs under
+    GSPMD (dryrun-scale; a production pod would fuse it into the next
+    consumer's layout instead)."""
+    _FIELDS[F._key] = F
+    shape = a.shape
+    n = shape[-2]
+    B = int(np.prod(shape[:-2], dtype=np.int64)) if len(shape) > 2 else 1
+    from .bootstrap import axis_size
+
+    n1, n2 = _factor(n, axis_size(mesh, axis), n1)
+    w1 = pow(w, n2, F.p)
+    w2 = pow(w, n1, F.p)
+    tw = jnp.asarray(_twiddles(F._key, n1, n2, w))
+
+    def local(ab, twb):
+        # ab: (B, n1, n2/D, 16) — inner NTT along the n1 axis (local)
+        x = jnp.moveaxis(ab, 1, -2)                    # (B, n2/D, n1, 16)
+        x = nttmod.ntt(F, x, w1)
+        x = jnp.moveaxis(x, -2, 1)                     # (B, n1, n2/D, 16)
+        x = F.mul(x, twb[None])
+        x = jax.lax.all_to_all(x, axis, split_axis=1, concat_axis=2,
+                               tiled=True)             # (B, n1/D, n2, 16)
+        return nttmod.ntt(F, x, w2)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(None, None, axis), P(None, axis)),
+                   out_specs=P(None, axis, None))
+    c = fn(a.reshape(B, n1, n2, 16), tw)               # C[k1, k2]
+    nat = jnp.transpose(c, (0, 2, 1, 3)).reshape(B, n, 16)
+    return nat.reshape(shape)
+
+
+def intt_sharded_nat(F: Field, x, w: int, mesh: Mesh, axis="x",
+                     n1: int | None = None):
+    """Inverse of :func:`ntt_sharded_nat` (natural order in and out)."""
+    _FIELDS[F._key] = F
+    shape = x.shape
+    n = shape[-2]
+    B = int(np.prod(shape[:-2], dtype=np.int64)) if len(shape) > 2 else 1
+    from .bootstrap import axis_size
+
+    n1, n2 = _factor(n, axis_size(mesh, axis), n1)
+    winv = pow(w, -1, F.p)
+    w1 = pow(winv, n2, F.p)
+    w2 = pow(winv, n1, F.p)
+    tw = jnp.asarray(_twiddles(F._key, n1, n2, winv))
+    ninv = jnp.asarray(F.from_int(pow(n, -1, F.p)))
+
+    def local(cb, twb):
+        # cb: (B, n1/D, n2, 16) — the forward pipeline run backwards
+        y = nttmod.ntt(F, cb, w2)
+        y = jax.lax.all_to_all(y, axis, split_axis=2, concat_axis=1,
+                               tiled=True)             # (B, n1, n2/D, 16)
+        y = F.mul(y, twb[None])
+        y = jnp.moveaxis(y, 1, -2)
+        y = nttmod.ntt(F, y, w1)
+        y = jnp.moveaxis(y, -2, 1)
+        return F.mul(y, jnp.broadcast_to(ninv, y.shape))
+
+    # natural (..., n) -> C[k1, k2]: f = k1 + n1·k2 ⇒ M[k2][k1] transpose
+    c = jnp.transpose(x.reshape(B, n2, n1, 16), (0, 2, 1, 3))
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(None, axis, None), P(None, axis)),
+                   out_specs=P(None, None, axis))
+    ab = fn(c, tw)                                     # (B, n1, n2, 16)
+    return ab.reshape(shape)

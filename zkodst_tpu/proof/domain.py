@@ -78,21 +78,43 @@ class Domain:
         return GEN
 
     # -- device transforms (columns are (..., n, 16) Montgomery limbs) -------
-    def ntt(self, coeffs):
+    # `mesh`: route through the 4-step distributed NTT (one all-to-all over
+    # `mesh_axis`; parallel/ntt_sharded.py) — the BASELINE.md config-5 path.
+    def ntt(self, coeffs, mesh=None, mesh_axis: str = "x"):
+        if mesh is not None:
+            from ..parallel.ntt_sharded import ntt_sharded_nat
+
+            return ntt_sharded_nat(FR, coeffs, self.omega, mesh, mesh_axis)
         return nttmod.ntt(FR, coeffs, self.omega)
 
-    def intt(self, evals):
+    def intt(self, evals, mesh=None, mesh_axis: str = "x"):
+        if mesh is not None:
+            from ..parallel.ntt_sharded import intt_sharded_nat
+
+            return intt_sharded_nat(FR, evals, self.omega, mesh, mesh_axis)
         return nttmod.intt(FR, evals, self.omega)
 
-    def coeff_to_extended(self, coeffs):
+    def coeff_to_extended(self, coeffs, mesh=None, mesh_axis: str = "x"):
         """coeffs (..., n, 16) -> evals on ζ·H' (..., 4n, 16)."""
         pad = jnp.zeros(coeffs.shape[:-2] + (self.ext_n - coeffs.shape[-2], 16),
                         jnp.uint32)
         wide = jnp.concatenate([coeffs, pad], axis=-2)
+        if mesh is not None:
+            from ..parallel.ntt_sharded import ntt_sharded_nat
+
+            scaled = nttmod.coset_scale(FR, wide, self.zeta)
+            return ntt_sharded_nat(FR, scaled, self.ext_omega, mesh,
+                                   mesh_axis)
         return nttmod.coset_ntt(FR, wide, self.ext_omega, self.zeta)
 
-    def extended_to_coeff(self, evals):
+    def extended_to_coeff(self, evals, mesh=None, mesh_axis: str = "x"):
         """evals on ζ·H' -> coefficient form (length 4n)."""
+        if mesh is not None:
+            from ..parallel.ntt_sharded import intt_sharded_nat
+
+            out = intt_sharded_nat(FR, evals, self.ext_omega, mesh,
+                                   mesh_axis)
+            return nttmod.coset_scale(FR, out, self.zeta, inverse=True)
         return nttmod.coset_intt(FR, evals, self.ext_omega, self.zeta)
 
     # -- host-side scalar helpers --------------------------------------------

@@ -106,14 +106,32 @@ def _eval_stack_at(coeffs_stack, pows):
     return prod[:, 0]
 
 
+@jax.jit
+def _eval_stack_at_points(coeffs_stack, xks):
+    """(M, n, 16) coeff stack × (P, 16) points -> (M, P, 16) evaluations.
+
+    The power tables build INSIDE the jit (log-doubling over traced x), so
+    the whole eval phase is one dispatch — the eager powers_dev version
+    paid ~17 relay RTTs per point."""
+    n = coeffs_stack.shape[1]
+
+    def per_point(xk):
+        arr = jnp.stack([jnp.asarray(F.ONE), xk])
+        while arr.shape[0] < n:
+            xm = F.mul(arr[-1], xk)                    # x^m
+            arr = jnp.concatenate(
+                [arr, F.mul(arr, jnp.broadcast_to(xm, arr.shape))])
+        return _eval_stack_at(coeffs_stack, arr[:n])   # (M, 16)
+
+    return jnp.stack([per_point(xks[i]) for i in range(xks.shape[0])],
+                     axis=1)
+
+
 def eval_many(coeffs_list, points):
     """Evaluate every poly at every point: -> [M][P] host ints."""
     stack = jnp.stack(coeffs_list)
-    cols = []
-    for pt in points:
-        pows = powers_dev(pt, stack.shape[1])
-        cols.append(_eval_stack_at(stack, pows))
-    grid = np.asarray(jnp.stack(cols, axis=1))          # (M, P, 16)
+    xks = jnp.asarray(F.from_ints([int(pt) for pt in points]))
+    grid = np.asarray(_eval_stack_at_points(stack, xks))    # (M, P, 16)
     m, p = grid.shape[:2]
     flat = F.to_ints(grid.reshape(m * p, 16))
     return [[int(flat[i * p + j]) for j in range(p)] for i in range(m)]
@@ -206,6 +224,114 @@ def _lookup_z_pass(a_cmp, s_cmp, ap, sp, bk, gk, mask):
     ratio = F.mul(num, F.inv_batch(den))
     ratio = jnp.where(mask[:, None], ratio, one)
     return _grand_product(ratio, jnp.asarray(F.ONE))[0]
+
+
+def _build_lookup_phase(circ: CircuitDef):
+    """Once-per-key jitted lookup phase: θ-compress every lookup's input/
+    table columns, apply the precomputed row permutations, blind the tails
+    — one dispatch instead of ~8 eager ops per lookup (each eager op is a
+    relay RTT on the axon backend)."""
+    lookups = [(tuple(lk.input_cols), tuple(lk.table_cols))
+               for lk in circ.lookups]
+    n = circ.n
+
+    @jax.jit
+    def fn(cols, theta_k, perms, blinds):
+        def compress(names):
+            acc = cols[names[0]]
+            tpow = None
+            for c in names[1:]:
+                tpow = (theta_k if tpow is None
+                        else F.mul(tpow, theta_k))
+                acc = F.add(acc, F.mul(
+                    jnp.broadcast_to(tpow, acc.shape), cols[c]))
+            return acc
+
+        acmps, scmps, aps, sps = [], [], [], []
+        for i, (incols, tbcols) in enumerate(lookups):
+            a_cmp = compress(incols)
+            s_cmp = compress(tbcols)
+            ap = a_cmp[perms[i, 0]].at[n - BLINDING_ROWS:].set(blinds[2 * i])
+            sp = s_cmp[perms[i, 1]].at[n - BLINDING_ROWS:].set(
+                blinds[2 * i + 1])
+            acmps.append(a_cmp)
+            scmps.append(s_cmp)
+            aps.append(ap)
+            sps.append(sp)
+        return (jnp.stack(acmps), jnp.stack(scmps), jnp.stack(aps),
+                jnp.stack(sps))
+
+    return fn
+
+
+_SHARDED_Z_CACHE: dict = {}
+
+
+def _z_passes_sharded(mesh, axis):
+    """shard_map'd grand-product passes: same ratio math as
+    _perm_z_pass/_lookup_z_pass per shard, then an all_gather of the D
+    shard totals and an exclusive cross-shard carry fold (SURVEY.md §5.7
+    "grand-product scans + cross-chip carries"). Bit-identical to the
+    single-chip path — field muls are exact and associative."""
+    axis = tuple(axis) if not isinstance(axis, str) else axis
+    if (mesh, axis) in _SHARDED_Z_CACHE:
+        return _SHARDED_Z_CACHE[(mesh, axis)]
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.bootstrap import axis_size
+
+    ndev = axis_size(mesh, axis)
+
+    def carry_fold(incl, carry16):
+        tots = jax.lax.all_gather(incl[-1], axis)      # (D, 16) ratio prods
+        idx = jax.lax.axis_index(axis)
+        one = jnp.asarray(F.ONE)
+        carry, total = carry16, carry16
+        for d in range(ndev):
+            carry = F.mul(carry, jnp.where(d < idx, tots[d], one))
+            total = F.mul(total, tots[d])
+        ck = jnp.broadcast_to(carry, incl.shape)
+        z = jnp.concatenate([ck[:1], F.mul(ck[:-1], incl[:-1])], axis=0)
+        return z, total
+
+    def perm_local(cols, sigmas, idents, bk, gk, carry16, mask):
+        m, nl, _ = cols.shape
+        one = jnp.broadcast_to(jnp.asarray(F.ONE), (nl, 16))
+        num, den = one, one
+        bb = jnp.broadcast_to(bk, (nl, 16))
+        gg = jnp.broadcast_to(gk, (nl, 16))
+        for i in range(m):
+            num = F.mul(num, F.add(cols[i],
+                                   F.add(F.mul(bb, idents[i]), gg)))
+            den = F.mul(den, F.add(cols[i],
+                                   F.add(F.mul(bb, sigmas[i]), gg)))
+        ratio = F.mul(num, F.inv_batch(den))
+        ratio = jnp.where(mask[:, None], ratio, one)
+        return carry_fold(_cumprod_incl(ratio), carry16)
+
+    def lk_local(a_cmp, s_cmp, ap, sp, bk, gk, mask):
+        nl = a_cmp.shape[0]
+        one = jnp.broadcast_to(jnp.asarray(F.ONE), (nl, 16))
+        bb = jnp.broadcast_to(bk, (nl, 16))
+        gg = jnp.broadcast_to(gk, (nl, 16))
+        num = F.mul(F.add(a_cmp, bb), F.add(s_cmp, gg))
+        den = F.mul(F.add(ap, bb), F.add(sp, gg))
+        ratio = F.mul(num, F.inv_batch(den))
+        ratio = jnp.where(mask[:, None], ratio, one)
+        return carry_fold(_cumprod_incl(ratio), jnp.asarray(F.ONE))[0]
+
+    perm_fn = jax.jit(shard_map(
+        perm_local, mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(None, axis),
+                  P(), P(), P(), P(axis)),
+        out_specs=(P(axis), P()), check_vma=False))
+    lk_fn = jax.jit(shard_map(
+        lk_local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P(axis)),
+        out_specs=P(axis), check_vma=False))
+    _SHARDED_Z_CACHE[(mesh, axis)] = (perm_fn, lk_fn)
+    return perm_fn, lk_fn
 
 
 # ---------------------------------------------------------------------------
@@ -347,14 +473,24 @@ def _quotient_fn(vk, dom: Domain):
 def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
                  advice_u64: Dict[str, np.ndarray],
                  instance_u64: Dict[str, np.ndarray],
-                 seed: int | None = None, metrics=None) -> bytes:
+                 seed: int | None = None, metrics=None,
+                 mesh=None, mesh_axis: str = "x") -> bytes:
     """metrics: optional utils.timing.Metrics — records prove sub-phases
     (the reference's ark_std timer granularity, SURVEY.md §5.1). Phase ends
     are driven by the transcript's host syncs, so timings are honest.
 
     seed: None (default) draws blinding factors from OS entropy
     (`secrets`) — the production ZK path. Passing an int gives
-    deterministic blinding for tests/golden fixtures only."""
+    deterministic blinding for tests/golden fixtures only.
+
+    mesh: optional jax.sharding.Mesh — the multi-chip prover (BASELINE.md
+    config 5): commits run the sharded Pippenger (points over `mesh_axis`),
+    domain transforms run the 4-step all-to-all NTT, grand products scan
+    per shard with cross-chip carries. Proofs are bit-identical to the
+    single-chip path (field/EC ops are exact; affine normalization kills
+    projective-representation differences). The lookup row-permutation
+    build (one argsort) and the SHPLONK tail stay replicated — both are
+    O(n) one-shots, revisit if they ever profile."""
     import contextlib
     import random
     import secrets
@@ -403,35 +539,53 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
     for i, se in enumerate(pk.sigma_evals):
         evals[f"perm.sigma{i}"] = se
 
+    # Lookup row permutations depend only on the witness (not on θ):
+    # dispatch the argsorts NOW so the device works through them while the
+    # host blocks on the advice-commitment readback below (phase overlap —
+    # SURVEY.md §2.4 PP row).
+    lk_perm_idx = {
+        lk.name: _lookup_perm_indices(
+            jnp.asarray(advice_u64[lk.input_cols[0]])[:, 0],
+            jnp.asarray(circ.fixed[lk.table_cols[0]])[:, 0], u)
+        for lk in circ.lookups}
+
     # --- phase 1: advice commitments (one batched MSM dispatch) -------------
     with phase("advice_commit"):
         for pt in srs.commit_lagrange_many(
                 params, jnp.stack([evals[n] for n in circ.advice_names]),
-                MSM_C):
+                MSM_C, mesh=mesh, mesh_axis=mesh_axis):
             tw.write_point(pt)
 
     theta = tw.squeeze_challenge()
 
-    # --- phase 2: lookup permutations ---------------------------------------
+    # --- phase 2: lookup permutations (ONE jitted dispatch for every
+    # θ-compression + permutation gather + tail blinding) --------------------
     lk_phase = phase("lookup_permute")
     lk_phase.__enter__()
     lk_data = {}
     lk_cols = []
-    for lk in circ.lookups:
-        a_cmp = _theta_compress([evals[c] for c in lk.input_cols], theta)
-        s_cmp = _theta_compress([evals[c] for c in lk.table_cols], theta)
-        in_d = jnp.asarray(advice_u64[lk.input_cols[0]])[:, 0]
-        tb_d = jnp.asarray(circ.fixed[lk.table_cols[0]])[:, 0]
-        pi, pt = _lookup_perm_indices(in_d, tb_d, u)
-        ap = blind_tail(a_cmp[pi])
-        sp = blind_tail(s_cmp[pt])
-        evals[f"{lk.name}.a_perm"] = ap
-        evals[f"{lk.name}.s_perm"] = sp
-        lk_data[lk.name] = (a_cmp, s_cmp, ap, sp)
-        lk_cols.extend([ap, sp])
+    if circ.lookups:
+        if not hasattr(pk, "_lookup_phase_fn"):
+            pk._lookup_phase_fn = _build_lookup_phase(circ)
+        theta_k = jnp.asarray(F.from_int(theta))
+        blinds = jnp.asarray(F.from_ints(
+            [[rng.randrange(PFR.p) for _ in range(BLINDING_ROWS)]
+             for _ in range(2 * len(circ.lookups))]))
+        cols_in = {c: evals[c] for lk in circ.lookups
+                   for c in (*lk.input_cols, *lk.table_cols)}
+        perms = jnp.stack([jnp.stack(lk_perm_idx[lk.name])
+                           for lk in circ.lookups])         # (L, 2, n)
+        acmp, scmp, aps, sps = pk._lookup_phase_fn(cols_in, theta_k,
+                                                   perms, blinds)
+        for i, lk in enumerate(circ.lookups):
+            evals[f"{lk.name}.a_perm"] = aps[i]
+            evals[f"{lk.name}.s_perm"] = sps[i]
+            lk_data[lk.name] = (acmp[i], scmp[i], aps[i], sps[i])
+            lk_cols.extend([aps[i], sps[i]])
     if lk_cols:
         for pt in srs.commit_lagrange_many(params, jnp.stack(lk_cols),
-                                           MSM_C):
+                                           MSM_C, mesh=mesh,
+                                           mesh_axis=mesh_axis):
             tw.write_point(pt)
     lk_phase.__exit__(None, None, None)
 
@@ -446,17 +600,29 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
     carry16 = jnp.asarray(F.ONE)
     col_of = {c: i for i, c in enumerate(vk.perm_cols)}
     roots = pk.roots
+    if mesh is not None:
+        perm_z_fn, lk_z_fn = _z_passes_sharded(mesh, mesh_axis)
+    else:
+        perm_z_fn, lk_z_fn = _perm_z_pass, _lookup_z_pass
+    if not hasattr(pk, "_chunk_tables"):
+        # σ / δ^col·ω^row tables are challenge-independent: build once per
+        # key (the per-prove eager builds were ~2 relay RTTs per column)
+        pk._chunk_tables = []
+        for chunk in vk.perm_chunks:
+            gis = [col_of[c] for c in chunk]
+            sig = jnp.stack([evals[f"perm.sigma{gi}"] for gi in gis])
+            ident = jnp.stack([
+                F.mul(jnp.broadcast_to(
+                    jnp.asarray(F.from_int(delta_pows[gi])), (n, 16)),
+                    roots)
+                for gi in gis])
+            pk._chunk_tables.append((sig, ident))
     zcols = []
     for j, chunk in enumerate(vk.perm_chunks):
-        gis = [col_of[c] for c in chunk]
         cols = jnp.stack([evals[c] for c in chunk])
-        sigmas = jnp.stack([evals[f"perm.sigma{gi}"] for gi in gis])
-        idents = jnp.stack([
-            F.mul(jnp.broadcast_to(
-                jnp.asarray(F.from_int(delta_pows[gi])), (n, 16)), roots)
-            for gi in gis])
-        z, zlast = _perm_z_pass(cols, sigmas, idents, bk, gk, carry16,
-                                mask)
+        sigmas, idents = pk._chunk_tables[j]
+        z, zlast = perm_z_fn(cols, sigmas, idents, bk, gk, carry16,
+                             mask)
         carry16 = zlast
         z = blind_tail(z)
         evals[f"perm.z{j}"] = z
@@ -465,12 +631,13 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
     # --- phase 3b: lookup grand products (one dispatch each) ----------------
     for lk in circ.lookups:
         a_cmp, s_cmp, ap, sp = lk_data[lk.name]
-        z = blind_tail(_lookup_z_pass(a_cmp, s_cmp, ap, sp, bk, gk, mask))
+        z = blind_tail(lk_z_fn(a_cmp, s_cmp, ap, sp, bk, gk, mask))
         evals[f"{lk.name}.z"] = z
         zcols.append(z)
     # transcript order: permutation Z's then lookup Z's (one batched MSM)
     with phase("grand_products_commit"):
-        for pt in srs.commit_lagrange_many(params, jnp.stack(zcols), MSM_C):
+        for pt in srs.commit_lagrange_many(params, jnp.stack(zcols), MSM_C,
+                                           mesh=mesh, mesh_axis=mesh_axis):
             tw.write_point(pt)
 
     y = tw.squeeze_challenge()
@@ -482,7 +649,8 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
     for i, sc in enumerate(pk.sigma_coeffs):
         coeffs[f"perm.sigma{i}"] = sc
     new_names = [nm for nm in evals if nm not in coeffs]
-    intt_stack = dom.intt(jnp.stack([evals[nm] for nm in new_names]))
+    intt_stack = dom.intt(jnp.stack([evals[nm] for nm in new_names]),
+                          mesh=mesh, mesh_axis=mesh_axis)
     for i, nm in enumerate(new_names):
         coeffs[nm] = intt_stack[i]
     if not hasattr(pk, "_needed_names"):
@@ -496,13 +664,28 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
                         for k, v in pk.ext_selectors.items()}
         pk._quotient = _quotient_fn(vk, dom)
     # extend in groups (one dispatch per ~15 polys; full-stack transients
-    # push past HBM)
-    exts = {}
+    # push past HBM). Fixed/σ extensions are challenge-independent —
+    # computed once per key and kept device-resident (~32 MB each at k=17).
+    static_names = set(pk.fixed_coeffs) | {
+        f"perm.sigma{i}" for i in range(len(pk.sigma_coeffs))}
+    if not hasattr(pk, "_static_exts"):
+        pk._static_exts = {}
+        grp_names = [nm for nm in pk._needed_names if nm in static_names]
+        for i in range(0, len(grp_names), 15):
+            grp = grp_names[i: i + 15]
+            ext_grp = dom.coeff_to_extended(
+                jnp.stack([coeffs[nm] for nm in grp]), mesh=mesh,
+                mesh_axis=mesh_axis)
+            for j, nm in enumerate(grp):
+                pk._static_exts[nm] = ext_grp[j]
+    exts = dict(pk._static_exts)
     G = 15
-    for i in range(0, len(pk._needed_names), G):
-        grp = pk._needed_names[i: i + G]
+    dyn_names = [nm for nm in pk._needed_names if nm not in static_names]
+    for i in range(0, len(dyn_names), G):
+        grp = dyn_names[i: i + G]
         ext_grp = dom.coeff_to_extended(
-            jnp.stack([coeffs[nm] for nm in grp]))
+            jnp.stack([coeffs[nm] for nm in grp]), mesh=mesh,
+            mesh_axis=mesh_axis)
         for j, nm in enumerate(grp):
             exts[nm] = ext_grp[j]
     chal_dev = {k: jnp.asarray(F.from_int(v)) for k, v in
@@ -510,14 +693,17 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
     h_ext = pk._quotient(exts, pk._sels_dev, chal_dev, pk._xext)
     exts = None          # ~1.5 GB of extended tensors — free before commits
     lk_data = None
-    h_coeff = dom.extended_to_coeff(h_ext)             # (4n, 16)
+    h_coeff = dom.extended_to_coeff(h_ext, mesh=mesh,
+                                    mesh_axis=mesh_axis)   # (4n, 16)
     h_ext = None
+    h_evals = dom.ntt(h_coeff.reshape(EXT_FACTOR, n, 16), mesh=mesh,
+                      mesh_axis=mesh_axis)
     for i in range(EXT_FACTOR):
-        chunk = h_coeff[i * n:(i + 1) * n]
-        coeffs[f"h{i}"] = chunk
-        evals[f"h{i}"] = dom.ntt(chunk)
+        coeffs[f"h{i}"] = h_coeff[i * n:(i + 1) * n]
+        evals[f"h{i}"] = h_evals[i]
     for pt in srs.commit_coeff_many(
-            params, h_coeff.reshape(EXT_FACTOR, n, 16), MSM_C):
+            params, h_coeff.reshape(EXT_FACTOR, n, 16), MSM_C,
+            mesh=mesh, mesh_axis=mesh_axis):
         tw.write_point(pt)
     q_phase.__exit__(None, None, None)
 

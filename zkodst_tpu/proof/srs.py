@@ -153,13 +153,23 @@ def commit_lagrange(params: ParamsKZG, evals_mont, c: int = 8):
     return _msm_chunked(params.g1_lagrange, evals_mont, c)
 
 
-def commit_lagrange_many(params: ParamsKZG, evals_batch, c: int = 8):
+def commit_lagrange_many(params: ParamsKZG, evals_batch, c: int = 8,
+                         mesh=None, mesh_axis: str = "x"):
     """Commit B eval-form polynomials in one batched dispatch.
 
     evals_batch: (B, n, 16) Montgomery limbs -> list of B affine points.
-    Chunked the same way as commit_lagrange (2^17 MSMs fault the TPU)."""
+    Chunked the same way as commit_lagrange (2^17 MSMs fault the TPU).
+    With `mesh`, the point axis is sharded over `mesh_axis` and each device
+    runs the Pippenger on its shard (parallel/msm_sharded.py) — the
+    multi-chip commit path of BASELINE.md config 5."""
     import jax.numpy as jnp
 
+    if mesh is not None:
+        from ..parallel.msm_sharded import msm_many_sharded_mont
+
+        accs = msm_many_sharded_mont(params.g1_lagrange, evals_batch,
+                                     mesh, mesh_axis, c)
+        return curve.to_affine_ints(np.asarray(accs))
     n = evals_batch.shape[1]
     accs = None
     for i in range(0, n, MSM_CHUNK):
@@ -175,9 +185,16 @@ def commit_coeff(params: ParamsKZG, coeffs_mont, c: int = 8):
     return _msm_chunked(params.g1[:m], coeffs_mont, c)
 
 
-def commit_coeff_many(params: ParamsKZG, coeffs_batch, c: int = 8):
+def commit_coeff_many(params: ParamsKZG, coeffs_batch, c: int = 8,
+                      mesh=None, mesh_axis: str = "x"):
     """Batched coefficient-form commits -> list of affine points."""
     m = coeffs_batch.shape[1]
+    if mesh is not None:
+        from ..parallel.msm_sharded import msm_many_sharded_mont
+
+        accs = msm_many_sharded_mont(params.g1[:m], coeffs_batch,
+                                     mesh, mesh_axis, c)
+        return curve.to_affine_ints(np.asarray(accs))
     accs = None
     for i in range(0, m, MSM_CHUNK):
         part = msm.msm_many_mont(params.g1[i: i + MSM_CHUNK],

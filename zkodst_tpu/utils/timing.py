@@ -59,3 +59,21 @@ class Metrics:
             "phases": {p.label: round(p.seconds, 6) for p in self.phases},
             **{k: v for k, v in self.values.items()},
         })
+
+
+@contextlib.contextmanager
+def profiler_trace(trace_dir: Optional[str]):
+    """Capture a jax.profiler (Perfetto/XPlane) trace around a block.
+
+    The flamegraph/criterion analogue of the reference's pprof hookup
+    (blake2f-circuit/Cargo.toml:32-37, benches/primitives.rs:60-65;
+    SURVEY.md §5.1): per-kernel device timelines viewable in Perfetto /
+    TensorBoard. No-op when trace_dir is falsy, so callers can wire it to
+    an env var (bench.py: ZKODST_PROFILE=<dir>)."""
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(trace_dir):
+        yield
