@@ -54,3 +54,14 @@ def test_proof_deterministic_per_seed(setup):
     assert p1 == p2
     assert p1 != p3  # different blinding
     assert verifier.verify_proof(params, pk.vk, {}, p3)
+
+
+def test_garbage_proofs_rejected_not_raised(setup):
+    """Any malformed byte stream must return False, never raise (the
+    reference's verifier returns Result; ours must be as total)."""
+    circ, params, pk = setup
+    import os as _os
+
+    for blob in (b"", b"\x00" * 10, b"\xff" * 4480, _os.urandom(931),
+                 _os.urandom(4480)):
+        assert verifier.verify_proof(params, pk.vk, {}, blob) is False

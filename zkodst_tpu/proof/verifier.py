@@ -152,5 +152,9 @@ def verify_proof(params: srs.ParamsKZG, vk: VerifyingKey,
         if not shplonk.verify_claims(params, dom, claims, tr):
             return False
         return tr.done()
-    except AssertionError:
+    except (AssertionError, ValueError, KeyError, IndexError,
+            OverflowError, ZeroDivisionError):
+        # a malformed proof must REJECT, whatever exception the decode /
+        # bookkeeping path raises (bad point encodings, truncated streams,
+        # non-invertible denominators from adversarial challenges, …)
         return False
