@@ -67,3 +67,25 @@ def test_sharded_cumprod(mesh):
     out, total = cumprod_incl_sharded(FR, x, mesh, "x")
     assert np.array_equal(np.asarray(out), ref)
     assert np.array_equal(np.asarray(total), ref[-1])
+
+
+def test_2d_mesh_tuple_axis():
+    """(host, chip) 2-D mesh with a tuple mesh axis — the pod-slice shape
+    from parallel/bootstrap.py (hosts on DCN, chips on ICI)."""
+    from zkodst_tpu.ops import ntt as nttmod
+    from zkodst_tpu.ops.field import FR
+    from zkodst_tpu.ops.pyfield import FR as PFR
+    from zkodst_tpu.parallel import ntt_sharded
+    from zkodst_tpu.parallel.bootstrap import axis_size, make_mesh
+
+    mesh = make_mesh((2, 4), ("host", "chip"))
+    assert axis_size(mesh, ("host", "chip")) == 8
+    k = 6
+    n = 1 << k
+    w = PFR.root_of_unity(k)
+    rng = np.random.default_rng(10)
+    a = FR.from_ints([int(x) for x in rng.integers(0, 1 << 62, n)])
+    ref = np.asarray(nttmod.ntt(FR, a, w))
+    nat = np.asarray(ntt_sharded.ntt_sharded_nat(
+        FR, a, w, mesh, ("host", "chip")))
+    assert np.array_equal(nat, ref)

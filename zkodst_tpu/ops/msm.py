@@ -90,10 +90,21 @@ def _bucket_tails(keys, scanned, c: int):
     return buckets[:nb]
 
 
-def _weighted_bucket_total(buckets):
+def _weighted_bucket_total(buckets, packed: bool = False):
     """Σ_{d>=1} d * B_d via suffix sums: S_j = Σ_{d>=j} B_d; total = Σ_{j>=1} S_j."""
     nb = buckets.shape[0]
     first = jnp.zeros((nb,), bool).at[0].set(True)
+    if packed and nb >= 1024:
+        # large windows (c ≥ 10): run both scans through the fused packed
+        # kernels — the jnp path costs a full complete-add graph per level
+        from ..pallas import ec
+
+        pb = ec.pack(buckets[::-1])[0]
+        suffix = ec.unpack(_seg_scan_packed(pb, first), nb)[::-1]
+        tail = jnp.concatenate(
+            [suffix[1:], jnp.broadcast_to(curve.identity(), (1, 3, 16))])
+        pt = ec.pack(tail)[0]
+        return ec.unpack(_seg_scan_packed(pt, first), nb)[-1]
     suffix = _seg_scan_points(buckets[::-1], first)[::-1]  # S_j at j
     # drop j=0 (weight 0) and sum the rest: last of an unsegmented scan
     total = _seg_scan_points(suffix[1:], first[: nb - 1])[-1]
@@ -141,7 +152,7 @@ def _seg_scan_packed(pt, starts):
     from .field import FQ as _FQ
 
     n = pt.shape[1]
-    tile = 2048
+    tile = ec._SCAN_TILE
     if n < 2 * tile or n % tile != 0:
         return _seg_scan_packed_flat(pt, starts)
 
@@ -185,7 +196,12 @@ def msm(points, scalar_limbs, c: int = 8):
     from ..ops.field import _pallas_wanted
     from ..pallas import ec
 
-    assert c in (4, 8, 16)
+    assert 1 <= c <= 16
+    # wide windows only pay off when the 2^c bucket arrays are small next
+    # to n (the per-window scan is c-independent; bucket suffix scans are
+    # not) — clamp toward the classic c ≈ log2(n) for small inputs (floor
+    # 8 so tiny test/dryrun MSMs share one compiled window program)
+    c = min(c, max(8, points.shape[0].bit_length() - 1))
     nwin = (SCALAR_BITS + c - 1) // c
     N = points.shape[0]
     digs = _digits(scalar_limbs, c, nwin)               # (nwin, N)
@@ -205,7 +221,7 @@ def msm(points, scalar_limbs, c: int = 8):
             g = jnp.take(points, sidx, axis=0)
             scanned = _seg_scan_points(g, starts)
         buckets = _bucket_tails(skeys, scanned, c)
-        return None, _weighted_bucket_total(buckets)
+        return None, _weighted_bucket_total(buckets, packed)
 
     _, win_sums = jax.lax.scan(window_body, None, digs)   # (nwin, 3, 16)
 

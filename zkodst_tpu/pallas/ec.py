@@ -117,6 +117,13 @@ def _seg_step_kernel(p_ref, q_ref, f_ref, fp_ref, o_ref, fo_ref):
 
 _TILE = 2048   # measured best on v5e (2.78 ms/seg-step at 2^17 vs 3.59 at 512)
 
+# phase-1 scan tile: log2(tile) fused levels run per tile. Smaller tiles
+# mean fewer EC adds but more grid programs; measured on v5e the program
+# overhead wins — 512 (9 levels) LOSES to 2048 (11 levels) by ~25%.
+import os as _os
+
+_SCAN_TILE = int(_os.environ.get("ZKODST_SCAN_TILE", "2048"))
+
 
 def _seg_scan_tile_kernel(p_ref, f_ref, o_ref, fo_ref):
     """Tile-local segmented inclusive scan, ALL log2(T) levels in VMEM.
@@ -171,7 +178,7 @@ def seg_scan_tiles(pt, f):
     from jax.experimental import pallas as pl
 
     n = pt.shape[1]
-    tile = min(_TILE, n)
+    tile = min(_SCAN_TILE, n)
     assert n % tile == 0
     ntiles = n // tile
     return pl.pallas_call(

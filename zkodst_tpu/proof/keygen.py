@@ -140,7 +140,7 @@ def _circuit_fingerprint(circ: CircuitDef) -> str:
     return h.hexdigest()
 
 
-def keygen(params: srs.ParamsKZG, circ: CircuitDef, msm_window: int = 8,
+def keygen(params: srs.ParamsKZG, circ: CircuitDef, msm_window: int = 13,
            cache_dir: str | None = None) -> ProvingKey:
     """Generate (or load) the proving key.
 

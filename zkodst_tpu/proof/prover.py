@@ -34,7 +34,11 @@ from .domain import DELTA, EXT_FACTOR, Domain
 from .keygen import ProvingKey
 from .transcript import Blake2bWrite
 
-MSM_C = 8
+# Pippenger window width: per-window seg-scan cost is c-independent, so
+# fewer/wider windows win while the 2^c bucket suffix scans stay cheap.
+# Measured on v5e (B=14 batched 2^17 MSM): c=8 10.0 s, c=12 7.7 s,
+# c=13 7.2 s, c=16 8.4 s (the 65536-wide bucket scans give it back).
+MSM_C = 13
 
 
 # ---------------------------------------------------------------------------

@@ -145,7 +145,7 @@ def _msm_chunked(points, scalars_mont, c: int):
     return acc
 
 
-def commit_lagrange(params: ParamsKZG, evals_mont, c: int = 8):
+def commit_lagrange(params: ParamsKZG, evals_mont, c: int = 13):
     """Commit a polynomial given in evaluation (Lagrange) form.
 
     evals_mont: (n, 16) uint32 Fr Montgomery limbs. Returns a device-side
@@ -153,7 +153,7 @@ def commit_lagrange(params: ParamsKZG, evals_mont, c: int = 8):
     return _msm_chunked(params.g1_lagrange, evals_mont, c)
 
 
-def commit_lagrange_many(params: ParamsKZG, evals_batch, c: int = 8,
+def commit_lagrange_many(params: ParamsKZG, evals_batch, c: int = 13,
                          mesh=None, mesh_axis: str = "x"):
     """Commit B eval-form polynomials in one batched dispatch.
 
@@ -179,13 +179,13 @@ def commit_lagrange_many(params: ParamsKZG, evals_batch, c: int = 8,
     return curve.to_affine_ints(np.asarray(accs))
 
 
-def commit_coeff(params: ParamsKZG, coeffs_mont, c: int = 8):
+def commit_coeff(params: ParamsKZG, coeffs_mont, c: int = 13):
     """Commit a polynomial in coefficient form (may be shorter than n)."""
     m = coeffs_mont.shape[0]
     return _msm_chunked(params.g1[:m], coeffs_mont, c)
 
 
-def commit_coeff_many(params: ParamsKZG, coeffs_batch, c: int = 8,
+def commit_coeff_many(params: ParamsKZG, coeffs_batch, c: int = 13,
                       mesh=None, mesh_axis: str = "x"):
     """Batched coefficient-form commits -> list of affine points."""
     m = coeffs_batch.shape[1]
