@@ -182,8 +182,8 @@ def _seg_scan_packed(pt, starts):
     return out
 
 
-@partial(jax.jit, static_argnums=(2,))
-def msm(points, scalar_limbs, c: int = 8):
+@partial(jax.jit, static_argnums=(2, 3))
+def msm(points, scalar_limbs, c: int = 8, scalar_bits: int = SCALAR_BITS):
     """Σ_i scalar_i · P_i.
 
     Args:
@@ -191,6 +191,9 @@ def msm(points, scalar_limbs, c: int = 8):
       scalar_limbs: (N, 16) uint32 — scalars as 16-bit limbs in NORMAL
         (non-Montgomery) form.
       c: window bits (must divide into the 16-bit limb grid: 4, 8 or 16).
+      scalar_bits: bound on the scalars — windows above it hold only zero
+        digits and are skipped entirely. Witness columns are u64 values,
+        so their commits run 5 windows instead of 20 (prover advice path).
 
     Returns (3, 16) projective sum."""
     from ..ops.field import _pallas_wanted
@@ -202,7 +205,7 @@ def msm(points, scalar_limbs, c: int = 8):
     # not) — clamp toward the classic c ≈ log2(n) for small inputs (floor
     # 8 so tiny test/dryrun MSMs share one compiled window program)
     c = min(c, max(8, points.shape[0].bit_length() - 1))
-    nwin = (SCALAR_BITS + c - 1) // c
+    nwin = (scalar_bits + c - 1) // c
     N = points.shape[0]
     digs = _digits(scalar_limbs, c, nwin)               # (nwin, N)
     packed = _pallas_wanted(points[..., 0, :], points[..., 0, :]) \
@@ -236,23 +239,26 @@ def msm(points, scalar_limbs, c: int = 8):
     return acc
 
 
-def msm_mont(points, fr_mont_scalars, c: int = 8):
+def msm_mont(points, fr_mont_scalars, c: int = 8,
+             scalar_bits: int = SCALAR_BITS):
     """MSM with scalars given as Fr Montgomery limb arrays (converts first)."""
     one_raw = jnp.zeros_like(fr_mont_scalars).at[..., 0].set(1)
     normal = FR.mul(fr_mont_scalars, one_raw)   # Montgomery mul by raw 1
-    return msm(points, normal, c)
+    return msm(points, normal, c, scalar_bits)
 
 
-@partial(jax.jit, static_argnums=(2,))
-def msm_many(points, scalars_batch, c: int = 8):
+@partial(jax.jit, static_argnums=(2, 3))
+def msm_many(points, scalars_batch, c: int = 8,
+             scalar_bits: int = SCALAR_BITS):
     """B MSMs over the SAME point set in one dispatch (vmapped Pippenger).
 
     points: (N, 3, 16); scalars_batch: (B, N, 16) normal-form limbs.
     Returns (B, 3, 16). One compile + one dispatch for a whole commit
     phase (the prover/keygen commit 8-38 columns at a time)."""
-    return jax.vmap(lambda s: msm(points, s, c))(scalars_batch)
+    return jax.vmap(lambda s: msm(points, s, c, scalar_bits))(scalars_batch)
 
 
-def msm_many_mont(points, mont_batch, c: int = 8):
+def msm_many_mont(points, mont_batch, c: int = 8,
+                  scalar_bits: int = SCALAR_BITS):
     one_raw = jnp.zeros_like(mont_batch).at[..., 0].set(1)
-    return msm_many(points, FR.mul(mont_batch, one_raw), c)
+    return msm_many(points, FR.mul(mont_batch, one_raw), c, scalar_bits)

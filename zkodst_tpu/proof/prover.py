@@ -554,10 +554,15 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
         for lk in circ.lookups}
 
     # --- phase 1: advice commitments (one batched MSM dispatch) -------------
+    # advice cells are u64 values (the spread forms are < 2^32), so the
+    # body MSM runs only the 64-bit windows; the full-width blinding tail
+    # is a tiny separate MSM (srs.commit_lagrange_many body_bits split)
     with phase("advice_commit"):
         for pt in srs.commit_lagrange_many(
                 params, jnp.stack([evals[n] for n in circ.advice_names]),
-                MSM_C, mesh=mesh, mesh_axis=mesh_axis):
+                MSM_C, mesh=mesh, mesh_axis=mesh_axis,
+                body_bits=None if mesh is not None else 64,
+                tail_rows=BLINDING_ROWS):
             tw.write_point(pt)
 
     theta = tw.squeeze_challenge()

@@ -154,14 +154,22 @@ def commit_lagrange(params: ParamsKZG, evals_mont, c: int = 13):
 
 
 def commit_lagrange_many(params: ParamsKZG, evals_batch, c: int = 13,
-                         mesh=None, mesh_axis: str = "x"):
+                         mesh=None, mesh_axis: str = "x",
+                         body_bits: int | None = None,
+                         tail_rows: int = 0):
     """Commit B eval-form polynomials in one batched dispatch.
 
     evals_batch: (B, n, 16) Montgomery limbs -> list of B affine points.
     Chunked the same way as commit_lagrange (2^17 MSMs fault the TPU).
     With `mesh`, the point axis is sharded over `mesh_axis` and each device
     runs the Pippenger on its shard (parallel/msm_sharded.py) — the
-    multi-chip commit path of BASELINE.md config 5."""
+    multi-chip commit path of BASELINE.md config 5.
+
+    body_bits/tail_rows: small-scalar split. When the first n−tail_rows
+    rows are bounded by 2^body_bits (witness columns are u64 values), the
+    body MSM runs only ceil(body_bits/c) windows — 5 instead of 20 for the
+    advice commit — and the tail_rows full-width rows (blinding) go
+    through a tiny separate full-width MSM, EC-added back on."""
     import jax.numpy as jnp
 
     if mesh is not None:
@@ -171,6 +179,21 @@ def commit_lagrange_many(params: ParamsKZG, evals_batch, c: int = 13,
                                      mesh, mesh_axis, c)
         return curve.to_affine_ints(np.asarray(accs))
     n = evals_batch.shape[1]
+    if body_bits is not None:
+        body = evals_batch
+        if tail_rows:
+            body = body.at[:, n - tail_rows:].set(0)
+        accs = None
+        for i in range(0, n, MSM_CHUNK):
+            part = msm.msm_many_mont(params.g1_lagrange[i: i + MSM_CHUNK],
+                                     body[:, i: i + MSM_CHUNK], c,
+                                     scalar_bits=body_bits)
+            accs = part if accs is None else curve.add(accs, part)
+        if tail_rows:
+            tail = msm.msm_many_mont(params.g1_lagrange[n - tail_rows:],
+                                     evals_batch[:, n - tail_rows:], c)
+            accs = curve.add(accs, tail)
+        return curve.to_affine_ints(np.asarray(accs))
     accs = None
     for i in range(0, n, MSM_CHUNK):
         part = msm.msm_many_mont(params.g1_lagrange[i: i + MSM_CHUNK],
