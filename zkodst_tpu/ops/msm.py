@@ -212,9 +212,21 @@ def msm(points, scalar_limbs, c: int = 8, scalar_bits: int = SCALAR_BITS):
         and N % 512 == 0
     pts_packed = ec.pack(points)[0] if packed else None
 
+    logn = max(1, (N - 1).bit_length())
+
     def window_body(_, keys):
-        skeys, sidx = jax.lax.sort(
-            (keys, jnp.arange(keys.shape[0], dtype=jnp.uint32)), num_keys=1)
+        if c + logn <= 32:
+            # single-operand sort: digit in the high bits, index in the
+            # low — cheaper than the 2-operand variant and stable for free
+            packed_k = (keys << np.uint32(logn)) | jnp.arange(
+                N, dtype=jnp.uint32)
+            skp = jax.lax.sort(packed_k)
+            skeys = skp >> np.uint32(logn)
+            sidx = skp & np.uint32((1 << logn) - 1)
+        else:
+            skeys, sidx = jax.lax.sort(
+                (keys, jnp.arange(keys.shape[0], dtype=jnp.uint32)),
+                num_keys=1)
         starts = jnp.concatenate(
             [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]])
         if packed:
