@@ -1,5 +1,6 @@
 import numpy as np
 import jax
+import pytest
 
 from zkodst_tpu.ops import curve, msm, pycurve, field
 
@@ -60,4 +61,53 @@ def test_msm_mont_scalars():
     ints = [field.limbs_to_int(s) for s in S]
     S_mont = field.FR.from_ints(ints)
     got = curve.to_affine_ints(msm.msm_mont(P, S_mont, c=8)[None])[0]
+    assert got == want
+
+
+@pytest.mark.slow
+def test_chain_scan_kernel_interpret(monkeypatch):
+    """The sequential Pallas chain-scan KERNEL itself (interpret mode on
+    CPU) against the lax.scan emulation `_chain_scan_local` falls back to
+    — the only CPU coverage of the kernel's accumulator/init logic.
+    Interpret mode executes each vector op eagerly (~40 min on the 1-core
+    host), hence slow-marked; the TPU e2e drives the compiled kernel."""
+    monkeypatch.setenv("ZKODST_FORCE_KERNELS", "1")
+    from zkodst_tpu.pallas import ec
+
+    W, S = 128, 3
+    n = W * S
+    ks = rng.integers(1, 1 << 30, n)
+    pts = curve.from_affine_ints([G.mul(GEN, int(k)) for k in ks])
+    pt = ec.pack(pts)[0]                                   # (48, n)
+    starts = (rng.integers(0, 4, n) == 0)
+    kern = np.asarray(ec.chain_scan_local(
+        pt, starts.astype(np.uint32)[None, :], W))
+    monkeypatch.delenv("ZKODST_FORCE_KERNELS")
+    emu = np.asarray(msm._chain_scan_local(jax.numpy.asarray(pt),
+                                           jax.numpy.asarray(starts), W))
+    ka = curve.to_affine_ints(ec.unpack(kern, n))
+    ea = curve.to_affine_ints(ec.unpack(emu, n))
+    assert ka == ea
+
+
+def test_msm_chain_path_interpret(monkeypatch):
+    """The chained-sequential-scan (packed Pallas) MSM path, run in
+    pallas interpret mode on CPU: N=512 forces W=256/S=2 chains, u64
+    scalars keep it to 8 windows."""
+    monkeypatch.setenv("ZKODST_FORCE_PACKED", "1")
+    n = 512
+    base_ks = rng.integers(1, 1 << 30, n)
+    pts = [G.mul(GEN, int(k)) for k in base_ks]
+    scalars = [int(x) for x in rng.integers(0, 1 << 64, n, dtype=np.uint64)]
+    # exercise empty buckets, bucket 0, single-element and giant segments
+    scalars[0] = 0
+    scalars[1] = 1
+    scalars[2:40] = [(1 << 64) - 1] * 38      # one segment spanning chains
+    P = curve.from_affine_ints(pts)
+    S = np.stack([field.int_to_limbs(s) for s in scalars])
+    want = None
+    for p, s in zip(pts, scalars):
+        want = G.add(want, G.mul(p, s))
+    got = curve.to_affine_ints(
+        np.asarray(msm.msm(P, S, c=8, scalar_bits=64))[None])[0]
     assert got == want

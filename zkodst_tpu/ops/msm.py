@@ -114,8 +114,6 @@ def _weighted_bucket_total(buckets, packed: bool = False):
 def _seg_scan_packed_flat(pt, starts):
     """Single-level packed segmented scan (used for cross-tile aggregates
     and as the small-N path): one fused Pallas step per level."""
-    from ..pallas import ec
-
     n = pt.shape[1]
     steps = max(1, (n - 1).bit_length())
     strides = jnp.asarray([1 << s for s in range(steps)], jnp.int32)
@@ -134,11 +132,120 @@ def _seg_scan_packed_flat(pt, starts):
         oob = (ids < stride)
         v_prev = jnp.where(oob[None, :], idp, v_prev)
         f_prev = f_prev | oob[None, :].astype(jnp.uint32)
-        v_new, f_new = ec.seg_step_t(v, v_prev, f, f_prev)
+        v_new, f_new = _seg_step(v, v_prev, f, f_prev)
         return (v_new, f_new), None
 
     (v, _), _ = jax.lax.scan(body, (pt, f0), strides)
     return v
+
+
+def _use_kernels() -> bool:
+    """Pallas kernels on TPU; jnp emulation (same semantics, fast CPU
+    compiles) elsewhere — interpret-mode compiles take minutes on the
+    1-core host, so CPU tests run the packed path through these
+    fallbacks and the kernels are validated on real TPU."""
+    import os
+
+    if os.environ.get("ZKODST_FORCE_KERNELS"):
+        return True          # CPU interpret-mode kernel tests
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+def _seg_step(pt, qt, f, fp):
+    """One segmented-scan step on packed points: out = f ? p : p + q."""
+    from ..pallas import ec
+
+    if _use_kernels():
+        return ec.seg_step_t(pt, qt, f, fp)
+    n = pt.shape[1]
+    p, q = ec.unpack(pt, n), ec.unpack(qt, n)
+    keep = f[0] != 0
+    v = jnp.where(keep[:, None, None], p, curve.add(p, q))
+    return v.reshape(n, 48).T, f | fp
+
+
+def _chain_scan_local(pt, starts, W: int):
+    """Per-chain segmented inclusive scan (phase 1 of the chained scan);
+    Pallas kernel on TPU, an equivalent lax.scan over the S chain
+    positions elsewhere."""
+    from ..pallas import ec
+
+    if _use_kernels():
+        return ec.chain_scan_local(pt, starts.astype(jnp.uint32)[None, :], W)
+    n = pt.shape[1]
+    S = n // W
+    blocks = jnp.moveaxis(pt.reshape(48, S, W), 1, 0)     # (S, 48, W)
+    fb = starts.reshape(S, W)
+
+    def body(acc, xs):
+        blk, fs = xs
+        p = blk.T.reshape(W, 3, 16)
+        v = jnp.where(fs[:, None, None], p, curve.add(acc, p))
+        return v, v.reshape(W, 48).T
+
+    acc0 = jnp.broadcast_to(curve.identity(), (W, 3, 16))
+    _, outs = jax.lax.scan(body, acc0, (blocks, fb))      # (S, 48, W)
+    return jnp.moveaxis(outs, 0, 1).reshape(48, n)
+
+
+def _chain_w(n: int) -> int | None:
+    """Lane width for the chained sequential scan (None = unsuitable).
+
+    Wider W = fewer grid programs but a costlier phase-2 aggregate scan
+    (log2 W levels x W lanes); 2048 balances both at n = 2^17."""
+    import os
+
+    want = int(os.environ.get("ZKODST_CHAIN_W", "2048"))
+    if want == 0:                   # explicit opt-out (A/B benchmarking)
+        return None
+    for w in (want, 2048, 1024, 512, 256, 128):
+        if w >= 128 and n % w == 0 and n // w >= 2:
+            return w
+    return None
+
+
+def _seg_scan_chains(pt, starts, W: int):
+    """Chained sequential segmented scan: ONE complete EC add per element.
+
+    pt (48, N) packed points in CHAIN-MAJOR order: chain l owns lanes
+    l, W+l, 2W+l, … (the caller folds this permutation into its gather
+    indices for free). starts: (N,) bool segment-start flags, same layout.
+
+    Returns (local, carry): `local` is the per-chain segmented inclusive
+    scan (48, N); `carry[:, l]` (48, W) is the exclusive cross-chain
+    segmented carry to add to chain l's leading run. Phase 1 is the
+    sequential Pallas kernel (N adds total — the Hillis-Steele tile scan
+    it replaces does 11N); phase 2 is a flat scan over the W aggregates."""
+    from .field import FQ as _FQ
+
+    n = pt.shape[1]
+    S = n // W
+    local = _chain_scan_local(pt, starts, W)
+    agg = local[:, (S - 1) * W:]                        # (48, W)
+    aggf = jnp.any(starts.reshape(S, W), axis=0)        # chain has a start
+    incl = _seg_scan_packed_flat(agg, aggf)
+    idp = np.zeros((48, 1), np.uint32)
+    idp[16:32, 0] = _FQ.ONE
+    carry = jnp.concatenate([jnp.asarray(idp), incl[:, :-1]], axis=1)
+    return local, carry
+
+
+def _weighted_total_packed(buckets):
+    """Σ_{d>=1} d · B_d for packed (48, nb) buckets, via suffix sums
+    (S_j = Σ_{d>=j} B_d; total = Σ_{j>=1} S_j) — all in packed layout, no
+    (nb, 3, 16) transposes. Returns a packed (48, 1) point column."""
+    from .field import FQ as _FQ
+
+    nb = buckets.shape[1]
+    first = jnp.zeros((nb,), bool).at[0].set(True)
+    suffix = _seg_scan_packed(buckets[:, ::-1], first)[:, ::-1]
+    idp = np.zeros((48, 1), np.uint32)
+    idp[16:32, 0] = _FQ.ONE
+    tmp = jnp.concatenate([jnp.asarray(idp), suffix[:, 1:]], axis=1)
+    return _seg_scan_packed(tmp, first)[:, -1:]
 
 
 def _seg_scan_packed(pt, starts):
@@ -153,7 +260,7 @@ def _seg_scan_packed(pt, starts):
 
     n = pt.shape[1]
     tile = ec._SCAN_TILE
-    if n < 2 * tile or n % tile != 0:
+    if n < 2 * tile or n % tile != 0 or not _use_kernels():
         return _seg_scan_packed_flat(pt, starts)
 
     f0 = starts.astype(jnp.uint32)[None, :]
@@ -178,8 +285,51 @@ def _seg_scan_packed(pt, starts):
 
     carry_full = jnp.repeat(carry, tile, axis=1)        # (48, N)
     fc_full = jnp.repeat(fc, tile, axis=1)
-    out, _ = ec.seg_step_t(v_loc, carry_full, f_loc_true, fc_full)
+    out, _ = _seg_step(v_loc, carry_full, f_loc_true, fc_full)
     return out
+
+
+def _chain_window(pts_packed, skeys, sidx, starts, c: int, W: int):
+    """One Pippenger window on the chained-sequential-scan path.
+
+    The sort's output is re-laid chain-major (permutation folded into the
+    gather indices — free), scanned with one-EC-add-per-element, and the
+    bucket sums are GATHERED at per-bucket tail positions located by a
+    single `searchsorted` over the sorted digits — no (N, 3, 16) unpack,
+    no N-row scatter, no full-array carry pass (carries are applied to
+    the ≤2^c tails only). Returns the window's (3, 16) weighted total."""
+    from ..pallas import ec
+    from .field import FQ as _FQ
+
+    N = skeys.shape[0]
+    S = N // W
+    sidx_p = sidx.reshape(W, S).T.reshape(-1)
+    starts_p = starts.reshape(W, S).T.reshape(-1)
+    g = jnp.take(pts_packed, sidx_p, axis=1)
+    local, carry = _seg_scan_chains(g, starts_p, W)
+
+    nb = 1 << c
+    d = jnp.arange(nb, dtype=jnp.uint32)
+    right = jnp.searchsorted(skeys, d, side="right")
+    left = jnp.concatenate([jnp.zeros((1,), right.dtype), right[:-1]])
+    present = right > left
+    tj = jnp.maximum(right - 1, 0)              # sorted tail index
+    tl, ts = tj // S, tj % S                    # chain, position-in-chain
+    vals = jnp.take(local, ts * W + tl, axis=1)             # (48, nb)
+
+    # cross-chain carry applies iff the tail's segment began in an earlier
+    # chain — i.e. no start at-or-before ts within chain tl
+    sw = starts.reshape(W, S)
+    fs = jnp.where(jnp.any(sw, axis=1), jnp.argmax(sw, axis=1), S)
+    needs = ts < jnp.take(fs, tl)
+    cvals = jnp.take(carry, tl, axis=1)
+    keep = jnp.logical_not(needs).astype(jnp.uint32)[None, :]
+    vals, _ = _seg_step(vals, cvals, keep, jnp.zeros_like(keep))
+
+    idp = np.zeros((48, 1), np.uint32)
+    idp[16:32, 0] = _FQ.ONE
+    vals = jnp.where(present[None, :], vals, jnp.asarray(idp))
+    return ec.unpack(_weighted_total_packed(vals), 1)[0]
 
 
 @partial(jax.jit, static_argnums=(2, 3))
@@ -196,6 +346,8 @@ def msm(points, scalar_limbs, c: int = 8, scalar_bits: int = SCALAR_BITS):
         so their commits run 5 windows instead of 20 (prover advice path).
 
     Returns (3, 16) projective sum."""
+    import os
+
     from ..ops.field import _pallas_wanted
     from ..pallas import ec
 
@@ -208,11 +360,13 @@ def msm(points, scalar_limbs, c: int = 8, scalar_bits: int = SCALAR_BITS):
     nwin = (scalar_bits + c - 1) // c
     N = points.shape[0]
     digs = _digits(scalar_limbs, c, nwin)               # (nwin, N)
-    packed = _pallas_wanted(points[..., 0, :], points[..., 0, :]) \
+    packed = (_pallas_wanted(points[..., 0, :], points[..., 0, :])
+              or bool(os.environ.get("ZKODST_FORCE_PACKED"))) \
         and N % 512 == 0
     pts_packed = ec.pack(points)[0] if packed else None
 
     logn = max(1, (N - 1).bit_length())
+    W = _chain_w(N) if packed else None
 
     def window_body(_, keys):
         if c + logn <= 32:
@@ -229,6 +383,9 @@ def msm(points, scalar_limbs, c: int = 8, scalar_bits: int = SCALAR_BITS):
                 num_keys=1)
         starts = jnp.concatenate(
             [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]])
+        if W is not None:
+            return None, _chain_window(
+                pts_packed, skeys, sidx, starts, c, W)
         if packed:
             g = jnp.take(pts_packed, sidx, axis=1)
             scanned = ec.unpack(_seg_scan_packed(g, starts), N)

@@ -115,6 +115,15 @@ def _seg_step_kernel(p_ref, q_ref, f_ref, fp_ref, o_ref, fo_ref):
     fo_ref[0, :] = (f_ref[0, :] | fp_ref[0, :]) & np.uint32(1)
 
 
+def _interpret() -> bool:
+    """Interpret-mode toggle: lets the packed kernels run (slowly) on the
+    CPU backend so the chain-scan MSM path is unit-testable without a TPU."""
+    try:
+        return jax.default_backend() not in ("tpu", "axon")
+    except RuntimeError:  # pragma: no cover — no backend at all
+        return True
+
+
 _TILE = 2048   # measured best on v5e (2.78 ms/seg-step at 2^17 vs 3.59 at 512)
 
 # phase-1 scan tile: log2(tile) fused levels run per tile. Smaller tiles
@@ -168,6 +177,71 @@ def _seg_scan_tile_kernel(p_ref, f_ref, o_ref, fo_ref):
     fo_ref[0:1, :] = fl
 
 
+def _chain_scan_kernel(p_ref, f_ref, o_ref, acc_ref):
+    """Sequential chained segmented-scan step (grid axis = chain position).
+
+    Lane l of every (48, W) grid block belongs to chain l; grid step s
+    presents chain l's s-th element. The VMEM accumulator carries the
+    running segment sum across grid steps:
+
+        out = f ? p : acc + p ;  acc := out
+
+    (acc starts as the identity point, so step 0 needs no special case —
+    identity + p = p under complete addition.) This does ONE complete EC
+    add per element — the Hillis–Steele tile scan it replaces does
+    log2(tile) = 11, which measured as the whole-MSM floor (~13 ms per
+    2^17 window; SURVEY.md §7 "speed-of-light kernels")."""
+    from jax.experimental import pallas as pl
+
+    s = pl.program_id(0)
+    zero = jnp.zeros_like(p_ref[0, :])
+    idy = [np.uint32(x) for x in np.asarray(FQ.ONE)]
+
+    @pl.when(s == 0)
+    def _init():                                 # acc := (0 : 1 : 0)
+        for i in range(L):
+            acc_ref[i, :] = zero
+            acc_ref[L + i, :] = zero + idy[i]
+            acc_ref[2 * L + i, :] = zero
+
+    p = _load_pt(p_ref)
+    acc = _load_pt(acc_ref)
+    ssum = _ec_add_vecs(acc, p, zero)
+    f = f_ref[0, :] != 0
+    for ci in range(3):
+        for i in range(L):
+            v = jnp.where(f, p[ci][i], ssum[ci][i])
+            o_ref[ci * L + i, :] = v
+            acc_ref[ci * L + i, :] = v
+
+
+@partial(jax.jit, static_argnums=(2,))
+def chain_scan_local(pt, f, W: int):
+    """Per-chain segmented inclusive scan of chain-major packed points.
+
+    pt (48, N) with chain l at lanes l, W+l, 2W+l, …; f (1, N) uint32
+    segment-start flags in the same layout. Chain heads are treated as
+    segment starts (cross-chain carries are the caller's phase 2/3).
+    Returns the (48, N) local scan; chain aggregates are the last block's
+    lanes, out[:, N-W:]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = pt.shape[1]
+    assert n % W == 0 and n // W >= 1
+    S = n // W
+    return pl.pallas_call(
+        _chain_scan_kernel,
+        out_shape=jax.ShapeDtypeStruct((3 * L, n), jnp.uint32),
+        grid=(S,),
+        in_specs=[pl.BlockSpec((3 * L, W), lambda i: (0, i)),
+                  pl.BlockSpec((1, W), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((3 * L, W), lambda i: (0, i)),
+        scratch_shapes=[pltpu.VMEM((3 * L, W), jnp.uint32)],
+        interpret=_interpret(),
+    )(pt, f)
+
+
 @jax.jit
 def seg_scan_tiles(pt, f):
     """Phase 1 of the two-level segmented scan.
@@ -190,6 +264,7 @@ def seg_scan_tiles(pt, f):
                   pl.BlockSpec((1, tile), lambda i: (0, i))],
         out_specs=(pl.BlockSpec((3 * L, tile), lambda i: (0, i)),
                    pl.BlockSpec((1, tile), lambda i: (0, i))),
+        interpret=_interpret(),
     )(pt, f)
 
 
@@ -215,6 +290,7 @@ def ec_add_t(pt, qt):
         grid=(n // tile,),
         in_specs=[pl.BlockSpec((3 * L, tile), lambda i: (0, i))] * 2,
         out_specs=pl.BlockSpec((3 * L, tile), lambda i: (0, i)),
+        interpret=_interpret(),
     )(pt, qt)
 
 
@@ -237,6 +313,7 @@ def seg_step_t(pt, qt, f, fp):
                   pl.BlockSpec((1, tile), lambda i: (0, i))],
         out_specs=(pl.BlockSpec((3 * L, tile), lambda i: (0, i)),
                    pl.BlockSpec((1, tile), lambda i: (0, i))),
+        interpret=_interpret(),
     )(pt, qt, f, fp)
 
 
