@@ -17,6 +17,7 @@ jax.config.update("jax_platforms", "cpu")
 # Cache compiled programs across test runs (big field/EC graphs are
 # compile-heavy; runtime is trivial at test sizes).
 jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("ZKODST_TEST_CACHE") or
                   os.path.join(os.path.dirname(os.path.dirname(
                       os.path.abspath(__file__))), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

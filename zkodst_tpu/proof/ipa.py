@@ -1,0 +1,347 @@
+"""IPA (inner-product argument) polynomial commitment — the reference's
+second commitment scheme.
+
+The zcash-halo2 backend the reference's criterion bench targets is IPA
+over Pasta (`Params<EqAffine>`, /root/reference/blake2f-circuit/benches/
+blake2f.rs:83-151; SURVEY.md §1 L0, §2.3 N11). This is the TPU-native
+equivalent of that *capability*: a transparent (no trusted setup)
+Pedersen-vector-commitment PCS with a log-size Bulletproofs-style opening
+argument, built on the same BN254 G1 / Pallas MSM machinery as the KZG
+path so both schemes share every hot kernel. Deliberate divergences from
+halo2 0.3's `poly/commitment` (documented per VERDICT.md weak #5):
+
+* BN254 G1 instead of Pasta — curve choice is a backend detail; the
+  protocol is curve-agnostic and this repo's field/curve kernels are
+  BN254. (The field layer itself is modulus-generic and Pasta-tested,
+  tests/test_field.py.)
+* Fold/transcript conventions are this repo's own (pinned by tests), not
+  byte-compatible with halo2's `commit_ipa`/`OpeningProof` layout.
+
+Protocol (coefficient form; b = (1, x, x², …) so verifier folding of b
+has a closed form):
+
+  commit(a, r)        P_a = ⟨a, G⟩ + r·H
+  open at x, v=a(x):  P   = P_a + v·U   maintains the invariant
+                      P_j = ⟨a_j, G_j⟩ + ⟨a_j, b_j⟩·U + ρ_j·H
+  per round j:        L_j = ⟨a_lo, G_hi⟩ + ⟨a_lo, b_hi⟩·U + l_j·H
+                      R_j = ⟨a_hi, G_lo⟩ + ⟨a_hi, b_lo⟩·U + m_j·H
+                      u_j ← FS;  a ← a_lo + u_j·a_hi
+                      b ← b_lo + u_j⁻¹·b_hi;  G ← G_lo + u_j⁻¹·G_hi
+                      ρ ← ρ + u_j⁻¹·l_j + u_j·m_j
+  final:              send a₀, ρ_f;  verifier checks
+                      a₀·G₀ + (a₀·b₀)·U + ρ_f·H
+                        == P + Σ_j (u_j⁻¹·L_j + u_j·R_j)
+  where G₀ = ⟨s, G⟩ (one n-point MSM), s_i = ∏_{j: bit_{k-j}(i)=1} u_j⁻¹,
+  and b₀ = ∏_j (1 + u_j⁻¹ x^{n/2^j}) (closed form — b is geometric).
+
+TPU-first: scalar folds are batched field ops, L/R are the shared
+Pippenger (ops/msm.py, chained-scan path included), and the G-vector fold
+is a 254-step shared-scalar double-and-add under `lax.scan` over all
+lanes at once. Generators are derived transparently by try-and-increment
+hash-to-curve (BN254 G1 has cofactor 1, so every curve point is in the
+prime-order group); params are disk-cached like the KZG SRS
+(SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import secrets
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import curve, msm, pycurve
+from ..ops.field import FR as DFR
+from ..ops.pyfield import FQ as PFQ
+from ..ops.pyfield import FR as PFR
+
+
+@dataclass
+class ParamsIPA:
+    k: int
+    g: np.ndarray            # (n, 3, 16) generator vector (Montgomery limbs)
+    h: Tuple[int, int]       # blinding base (affine ints)
+    u: Tuple[int, int]       # inner-product base (affine ints)
+
+    @property
+    def n(self) -> int:
+        return 1 << self.k
+
+
+def _hash_to_curve(tag: bytes, i: int) -> Tuple[int, int]:
+    """Try-and-increment: x from a hash, y the canonical (even) root."""
+    p = PFQ.p
+    ctr = 0
+    while True:
+        d = hashlib.blake2b(tag + i.to_bytes(8, "little")
+                            + ctr.to_bytes(4, "little"),
+                            digest_size=32).digest()
+        x = int.from_bytes(d, "little") % p
+        rhs = (x * x % p * x + 3) % p
+        y = PFQ.sqrt(rhs)
+        if y is not None:
+            if y & 1:
+                y = p - y
+            return (x, y)
+        ctr += 1
+
+
+def setup(k: int, cache_dir: Optional[str] = None) -> ParamsIPA:
+    """Transparent setup: n+2 hash-derived generators, disk-cached by k."""
+    path = None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        path = os.path.join(cache_dir, f"ipa_bn254_k{k}.npz")
+        if os.path.exists(path):
+            d = np.load(path)
+
+            def _pt(key):
+                raw = d[key].tobytes()
+                return (int.from_bytes(raw[:32], "little"),
+                        int.from_bytes(raw[32:], "little"))
+
+            return ParamsIPA(k=k, g=d["g"], h=_pt("h"), u=_pt("u"))
+    n = 1 << k
+    pts = [_hash_to_curve(b"zkodst-ipa-g", i) for i in range(n)]
+    g = curve.from_affine_ints(pts)
+    h = _hash_to_curve(b"zkodst-ipa-h", 0)
+    u = _hash_to_curve(b"zkodst-ipa-u", 0)
+    params = ParamsIPA(k=k, g=g, h=h, u=u)
+    if path:
+        def _enc(pt):
+            return np.frombuffer(pt[0].to_bytes(32, "little")
+                                 + pt[1].to_bytes(32, "little"), np.uint8)
+
+        np.savez(path, g=g, h=_enc(h), u=_enc(u))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# device helpers
+# ---------------------------------------------------------------------------
+
+def _rand_scalar(rng=None) -> int:
+    return (rng.randrange(PFR.p) if rng is not None
+            else secrets.randbelow(PFR.p))
+
+
+@jax.jit
+def _scale_points(pts, kbits):
+    """Shared-scalar point multiply: (m,3,16) × one 254-bit scalar.
+
+    kbits: (254,) uint32 bits LSB-first (traced — one compile per shape).
+    Double-and-add over all lanes at once; `curve.add` is complete, so no
+    branch cases."""
+    ident = jnp.broadcast_to(curve.identity(), pts.shape)
+
+    def body(st, bit):
+        acc, base = st
+        nacc = jnp.where(bit > 0, curve.add(acc, base), acc)
+        return (nacc, curve.add(base, base)), None
+
+    (acc, _), _ = jax.lax.scan(body, (ident, pts), kbits)
+    return acc
+
+
+@jax.jit
+def _fold_half(lo, hi_scaled):
+    return curve.add(lo, hi_scaled)
+
+
+def _bits(v: int) -> jnp.ndarray:
+    return jnp.asarray([(v >> i) & 1 for i in range(254)], jnp.uint32)
+
+
+@jax.jit
+def _ip(a, b):
+    """⟨a, b⟩ over (m, 16) Montgomery vectors -> (16,)."""
+    prod = DFR.mul(a, b)
+    m = prod.shape[0]
+    while m > 1:
+        if m % 2:
+            prod = jnp.concatenate(
+                [prod, jnp.zeros((1, 16), jnp.uint32)], axis=0)
+            m += 1
+        prod = DFR.add(prod[0::2], prod[1::2])
+        m //= 2
+    return prod[0]
+
+
+@jax.jit
+def _fold_scalars(v, uk):
+    """v_lo + u·v_hi for (m, 16) Montgomery v (uk: (16,))."""
+    m = v.shape[0] // 2
+    return DFR.add(v[:m], DFR.mul(jnp.broadcast_to(uk, (m, 16)), v[m:]))
+
+
+def _powers_dev(x: int, n: int):
+    arr = jnp.asarray(DFR.from_ints([1, x % PFR.p]))
+    while arr.shape[0] < n:
+        m = arr.shape[0]
+        xm = jnp.broadcast_to(jnp.asarray(DFR.from_int(pow(x, m, PFR.p))),
+                              arr.shape)
+        arr = jnp.concatenate([arr, DFR.mul(arr, xm)], axis=0)
+    return arr[:n]
+
+
+# ---------------------------------------------------------------------------
+# commit / open / verify (single polynomial, single point)
+# ---------------------------------------------------------------------------
+
+def commit(params: ParamsIPA, coeffs_mont, blind: int):
+    """P_a = ⟨a, G⟩ + blind·H -> affine ints (host)."""
+    m = coeffs_mont.shape[0]
+    acc = msm.msm_mont(jnp.asarray(params.g[:m]), coeffs_mont)
+    base = curve.to_affine_ints(np.asarray(acc)[None])[0]
+    return pycurve.G1.add(base, pycurve.G1.mul(params.h, blind))
+
+
+def open_poly(params: ParamsIPA, coeffs_mont, blind: int, x: int,
+              v: int, tw, rng=None) -> None:
+    """Write the log-size opening proof for a(x) = v to the transcript."""
+    a = jnp.asarray(coeffs_mont)
+    m = int(a.shape[0])
+    assert m & (m - 1) == 0, "power-of-two length"
+    g_cur = jnp.asarray(params.g[:m])
+    b = _powers_dev(x, m)
+    rho = blind
+
+    while m > 1:
+        half = m // 2
+        a_lo, a_hi = a[:half], a[half:]
+        b_lo, b_hi = b[:half], b[half:]
+        g_lo, g_hi = g_cur[:half], g_cur[half:]
+        l_b, m_b = _rand_scalar(rng), _rand_scalar(rng)
+        lmain = curve.to_affine_ints(
+            np.asarray(msm.msm_mont(g_hi, a_lo))[None])[0]
+        rmain = curve.to_affine_ints(
+            np.asarray(msm.msm_mont(g_lo, a_hi))[None])[0]
+        ip_l = DFR.to_int(np.asarray(_ip(a_lo, b_hi)))
+        ip_r = DFR.to_int(np.asarray(_ip(a_hi, b_lo)))
+        L = pycurve.G1.add(
+            pycurve.G1.add(lmain, pycurve.G1.mul(params.u, ip_l)),
+            pycurve.G1.mul(params.h, l_b))
+        R = pycurve.G1.add(
+            pycurve.G1.add(rmain, pycurve.G1.mul(params.u, ip_r)),
+            pycurve.G1.mul(params.h, m_b))
+        tw.write_point(L)
+        tw.write_point(R)
+        u_j = tw.squeeze_challenge()
+        u_inv = pow(u_j, -1, PFR.p)
+        uk = jnp.asarray(DFR.from_int(u_j))
+        a = _fold_scalars(a, uk)
+        b = _fold_scalars(b, jnp.asarray(DFR.from_int(u_inv)))
+        g_cur = _fold_half(g_lo, _scale_points(g_hi, _bits(u_inv)))
+        rho = (rho + u_inv * l_b + u_j * m_b) % PFR.p
+        m = half
+
+    a0 = DFR.to_int(np.asarray(a)[0])
+    tw.write_scalar(a0)
+    tw.write_scalar(rho)
+
+
+def verify_poly(params: ParamsIPA, commitment, x: int, v: int, tr,
+                n: Optional[int] = None) -> bool:
+    """Replay one opening proof; one n-point MSM + O(log n) group ops."""
+    p = PFR.p
+    n = n or params.n
+    k = n.bit_length() - 1
+    us: List[int] = []
+    lrs: List[Tuple] = []
+    for _ in range(k):
+        L = tr.read_point()
+        R = tr.read_point()
+        lrs.append((L, R))
+        us.append(tr.squeeze_challenge())
+    a0 = tr.read_scalar()
+    rho_f = tr.read_scalar()
+
+    # s vector by fold expansion: round j consumes original-index bit
+    # k-1-j (round 1 splits the top half), so iterate rounds in REVERSE —
+    # the first doubling step must install the last round's factor at
+    # bit 0. O(n) host muls.
+    s = [1]
+    for u_j in reversed(us):
+        ui = pow(u_j, -1, p)
+        s = s + [t * ui % p for t in s]
+    sv = np.asarray(DFR.from_ints(s))
+    g0 = curve.to_affine_ints(
+        np.asarray(msm.msm_mont(jnp.asarray(params.g[:n]),
+                                jnp.asarray(sv)))[None])[0]
+
+    b0 = 1
+    for j, u_j in enumerate(us):
+        b0 = b0 * (1 + pow(u_j, -1, p)
+                   * pow(x, n >> (j + 1), p)) % p
+
+    g1 = pycurve.G1
+    lhs = g1.add(g1.add(g1.mul(g0, a0),
+                        g1.mul(params.u, a0 * b0 % p)),
+                 g1.mul(params.h, rho_f))
+    rhs = g1.add(commitment, g1.mul(params.u, v % p))
+    for (L, R), u_j in zip(lrs, us):
+        rhs = g1.add(rhs, g1.mul(L, pow(u_j, -1, p)))
+        rhs = g1.add(rhs, g1.mul(R, u_j))
+    return lhs == rhs
+
+
+# ---------------------------------------------------------------------------
+# multiopen: batch (poly, point, eval) claims
+# ---------------------------------------------------------------------------
+
+@dataclass
+class IPAClaim:
+    """One opening claim against a committed polynomial."""
+
+    point: int
+    value: int
+    coeffs_mont: object = None          # prover: (n, 16) device
+    blind: int = 0                      # prover
+    commitment: object = None           # verifier: affine ints
+
+
+def open_claims(params: ParamsIPA, claims: Sequence[IPAClaim], tw,
+                rng=None) -> None:
+    """Group claims by point, RLC each group with a Fiat–Shamir challenge,
+    emit one IPA opening per distinct point (halo2's multiopen collapses
+    further via its q-polynomial trick; per-point RLC is this backend's
+    pinned format — same asymptotics per distinct rotation point)."""
+    q = tw.squeeze_challenge()
+    by_pt: dict = {}
+    for cl in claims:
+        by_pt.setdefault(cl.point, []).append(cl)
+    for x in sorted(by_pt):
+        group = by_pt[x]
+        acc = jnp.asarray(group[0].coeffs_mont)
+        vv, rr, qp = group[0].value, group[0].blind, 1
+        for cl in group[1:]:
+            qp = qp * q % PFR.p
+            qk = jnp.broadcast_to(jnp.asarray(DFR.from_int(qp)), acc.shape)
+            acc = DFR.add(acc, DFR.mul(qk, jnp.asarray(cl.coeffs_mont)))
+            vv = (vv + qp * cl.value) % PFR.p
+            rr = (rr + qp * cl.blind) % PFR.p
+        open_poly(params, acc, rr, x, vv, tw, rng=rng)
+
+
+def verify_claims(params: ParamsIPA, claims: Sequence[IPAClaim], tr,
+                  n: Optional[int] = None) -> bool:
+    q = tr.squeeze_challenge()
+    by_pt: dict = {}
+    for cl in claims:
+        by_pt.setdefault(cl.point, []).append(cl)
+    g1 = pycurve.G1
+    for x in sorted(by_pt):
+        group = by_pt[x]
+        com, vv, qp = group[0].commitment, group[0].value, 1
+        for cl in group[1:]:
+            qp = qp * q % PFR.p
+            com = g1.add(com, g1.mul(cl.commitment, qp))
+            vv = (vv + qp * cl.value) % PFR.p
+        if not verify_poly(params, com, x, vv, tr, n=n):
+            return False
+    return True
