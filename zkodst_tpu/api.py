@@ -67,17 +67,25 @@ class Blake2fProver:
 
 def setup_blake2f(k: int = 17, n_inst: int = 1, rounds: int = 12,
                   srs_seed: int = 0, cache_dir: Optional[str] = None,
-                  echo: bool = True, mesh=None,
-                  mesh_axis="x") -> Blake2fProver:
+                  echo: bool = True, mesh=None, mesh_axis="x",
+                  scheme: str = "kzg") -> Blake2fProver:
     """Build circuit + SRS + keys ([Setup generation] phase).
 
     mesh: optional jax.sharding.Mesh — proofs then run the multi-chip
-    path (sharded commits / 4-step NTT / carry-folded grand products)."""
+    path (sharded commits / 4-step NTT / carry-folded grand products).
+
+    scheme: "kzg" (BN254 + SHPLONK, the reference's benchmarking crate
+    path) or "ipa" (transparent setup, the reference's zcash-halo2
+    criterion-bench path) — proof/pcs.py."""
     metrics = Metrics(echo=echo)
     with metrics.phase(SETUP):
         built = blake2f_circuit.Blake2fCircuit(k=k, n_inst=n_inst,
                                                rounds=rounds)
-        if cache_dir is not None:
+        if scheme == "ipa":
+            from .proof import ipa as ipa_mod
+
+            params = ipa_mod.setup(k, cache_dir=cache_dir)
+        elif cache_dir is not None:
             params = srs.get_or_create(k, cache_dir)
         else:
             params = srs.setup(k, seed=srs_seed)

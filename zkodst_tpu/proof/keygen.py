@@ -140,7 +140,7 @@ def _circuit_fingerprint(circ: CircuitDef) -> str:
     return h.hexdigest()
 
 
-def keygen(params: srs.ParamsKZG, circ: CircuitDef, msm_window: int = 13,
+def keygen(params, circ: CircuitDef, msm_window: int = 13,
            cache_dir: str | None = None) -> ProvingKey:
     """Generate (or load) the proving key.
 
@@ -161,12 +161,16 @@ def keygen(params: srs.ParamsKZG, circ: CircuitDef, msm_window: int = 13,
     for d in range(1, len(perm_cols) + 1):
         assert pow(DELTA, d, FR.p) != 1, "DELTA order too small"
 
+    from . import pcs
+
     cache_path = None
     cached = None
     if cache_dir is not None:
         os.makedirs(cache_dir, exist_ok=True)
+        # commitments differ per scheme — tag the cache key
+        tag = "ipa_" if pcs.is_ipa(params) else ""
         cache_path = os.path.join(
-            cache_dir, f"pk_{_circuit_fingerprint(circ)}.npz")
+            cache_dir, f"pk_{tag}{_circuit_fingerprint(circ)}.npz")
         if os.path.exists(cache_path):
             cached = np.load(cache_path, allow_pickle=True)
 
@@ -203,10 +207,11 @@ def keygen(params: srs.ParamsKZG, circ: CircuitDef, msm_window: int = 13,
     else:
         # one batched dispatch for all fixed columns, one for all σ
         fixed_batch = jnp.stack([fixed_evals[n] for n in fixed_names])
-        fixed_pts = srs.commit_lagrange_many(params, fixed_batch, msm_window)
+        fixed_pts = pcs.commit_evals_many(params, dom, fixed_batch,
+                                          msm_window)
         fixed_comm = dict(zip(fixed_names, fixed_pts))
-        sigma_pts = srs.commit_lagrange_many(
-            params, jnp.stack(sigma_evals), msm_window)
+        sigma_pts = pcs.commit_evals_many(
+            params, dom, jnp.stack(sigma_evals), msm_window)
         sigma_comm = list(sigma_pts)
         ext_selectors = dom.selectors_extended()
         if cache_path is not None:

@@ -1,0 +1,103 @@
+"""Commitment-scheme dispatch: KZG/SHPLONK vs IPA behind one interface.
+
+The reference carries TWO proof-system backends (SURVEY.md §1 L0/L0′):
+zcash-halo2 IPA/Pasta for the circuit crate's criterion bench
+(/root/reference/blake2f-circuit/benches/blake2f.rs:83-151) and halo2-ce
+KZG/BN254+SHPLONK for the E2E bench harness
+(/root/reference/benchmarking/src/blake2f_circuit_bench.rs:49-101). This
+module is the seam that lets the SAME `create_proof`/`verify_proof`
+pipeline (proof/prover.py, proof/verifier.py) run over either scheme —
+the halo2 `CommitmentScheme` trait role.
+
+Scheme differences handled here:
+* KZG commits evaluation-form polynomials directly against the Lagrange
+  SRS basis; IPA params carry only the monomial generator vector, so
+  eval-form commits go through one batched iNTT first (⟨iNTT(e), G⟩ —
+  the basis change is linear, so this is the same group element a
+  Lagrange generator set would produce).
+* Multiopen: KZG uses SHPLONK (two witness points, one pairing check);
+  IPA flattens the (poly, rotations) claims into per-(poly, point) claims
+  and runs the per-point RLC'd Bulletproofs-style opening (proof/ipa.py).
+* Commitment blinds: the IPA path commits with Pedersen blind 0 — hiding
+  comes from the BLINDING_ROWS random tail rows every committed column
+  already carries (prover.py `blind_tail`), plus the per-round l/m blinds
+  inside the opening argument. Documented divergence from halo2 0.3's
+  nonzero per-commitment blinds (docs/FORMAT.md).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import curve, msm
+from . import ipa, shplonk, srs
+from .domain import Domain
+
+
+def is_ipa(params) -> bool:
+    return isinstance(params, ipa.ParamsIPA)
+
+
+def commit_evals_many(params, dom: Domain, evals_batch, c: int,
+                      mesh=None, mesh_axis: str = "x",
+                      body_bits: Optional[int] = None,
+                      tail_rows: int = 0) -> List:
+    """Commit B evaluation-form polynomials -> list of B affine points.
+
+    body_bits/tail_rows (small-scalar MSM split) only apply to the KZG
+    Lagrange-basis path; the IPA path iNTTs first, which destroys any
+    scalar smallness."""
+    if is_ipa(params):
+        assert mesh is None, "IPA backend is single-chip (use KZG for mesh)"
+        cfs = dom.intt(evals_batch)
+        accs = msm.msm_many_mont(jnp.asarray(params.g), cfs, c)
+        return curve.to_affine_ints(np.asarray(accs))
+    return srs.commit_lagrange_many(params, evals_batch, c, mesh=mesh,
+                                    mesh_axis=mesh_axis,
+                                    body_bits=body_bits,
+                                    tail_rows=tail_rows)
+
+
+def commit_coeff_many(params, coeffs_batch, c: int, mesh=None,
+                      mesh_axis: str = "x") -> List:
+    """Commit B coefficient-form polynomials -> list of B affine points."""
+    if is_ipa(params):
+        assert mesh is None, "IPA backend is single-chip (use KZG for mesh)"
+        m = coeffs_batch.shape[1]
+        accs = msm.msm_many_mont(jnp.asarray(params.g[:m]), coeffs_batch, c)
+        return curve.to_affine_ints(np.asarray(accs))
+    return srs.commit_coeff_many(params, coeffs_batch, c, mesh=mesh,
+                                 mesh_axis=mesh_axis)
+
+
+def _flatten(claims: List[shplonk.Claim]) -> List[ipa.IPAClaim]:
+    """(poly, rotations) claims -> per-(poly, point) IPA claims, in the
+    canonical schedule order (prover and verifier must agree)."""
+    flat = []
+    for cl in claims:
+        for pt, ev in zip(cl.points, cl.evals):
+            flat.append(ipa.IPAClaim(point=pt, value=ev,
+                                     coeffs_mont=cl.coeffs_dev,
+                                     commitment=cl.commitment))
+    return flat
+
+
+def open_all(params, dom: Domain, claims: List[shplonk.Claim], tw,
+             rng=None) -> None:
+    """Prover-side multiopen. KZG claims need `evals_dev`; IPA claims need
+    `coeffs_dev` (the prover has both forms by the eval phase)."""
+    if is_ipa(params):
+        ipa.open_claims(params, _flatten(claims), tw, rng=rng)
+        return
+    shplonk.open_claims(params, dom, claims, tw)
+
+
+def verify_all(params, dom: Domain, claims: List[shplonk.Claim],
+               tr) -> bool:
+    """Verifier-side multiopen check (claims carry `commitment`)."""
+    if is_ipa(params):
+        return ipa.verify_claims(params, _flatten(claims), tr, n=dom.n)
+    return shplonk.verify_claims(params, dom, claims, tr)

@@ -29,7 +29,7 @@ import numpy as np
 from ..circuit.ir import BLINDING_ROWS, CircuitDef, u64_cols_to_field
 from ..ops.field import FR as F
 from ..ops.pyfield import FR as PFR
-from . import constraints, shplonk, srs
+from . import constraints, pcs, shplonk, srs
 from .domain import DELTA, EXT_FACTOR, Domain
 from .keygen import ProvingKey
 from .transcript import Blake2bWrite
@@ -474,12 +474,16 @@ def _quotient_fn(vk, dom: Domain):
 # create_proof
 # ---------------------------------------------------------------------------
 
-def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
+def create_proof(params, pk: ProvingKey,
                  advice_u64: Dict[str, np.ndarray],
                  instance_u64: Dict[str, np.ndarray],
                  seed: int | None = None, metrics=None,
                  mesh=None, mesh_axis: str = "x") -> bytes:
-    """metrics: optional utils.timing.Metrics — records prove sub-phases
+    """params: srs.ParamsKZG (SHPLONK multiopen + pairing check) or
+    ipa.ParamsIPA (transparent Bulletproofs-style multiopen) — the two
+    backends of the reference, dispatched via proof/pcs.py.
+
+    metrics: optional utils.timing.Metrics — records prove sub-phases
     (the reference's ark_std timer granularity, SURVEY.md §5.1). Phase ends
     are driven by the transcript's host syncs, so timings are honest.
 
@@ -507,6 +511,9 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
     circ = vk.circ
     dom = Domain(circ.k)
     n, u = dom.n, circ.usable_rows
+    is_ipa = pcs.is_ipa(params)
+    if is_ipa:
+        assert mesh is None, "IPA backend is single-chip (use KZG for mesh)"
     if seed is None:
         rng = random.Random(secrets.token_bytes(32))
     else:
@@ -558,10 +565,11 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
     # body MSM runs only the 64-bit windows; the full-width blinding tail
     # is a tiny separate MSM (srs.commit_lagrange_many body_bits split)
     with phase("advice_commit"):
-        for pt in srs.commit_lagrange_many(
-                params, jnp.stack([evals[n] for n in circ.advice_names]),
+        for pt in pcs.commit_evals_many(
+                params, dom,
+                jnp.stack([evals[n] for n in circ.advice_names]),
                 MSM_C, mesh=mesh, mesh_axis=mesh_axis,
-                body_bits=None if mesh is not None else 64,
+                body_bits=None if (mesh is not None or is_ipa) else 64,
                 tail_rows=BLINDING_ROWS):
             tw.write_point(pt)
 
@@ -592,9 +600,9 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
             lk_data[lk.name] = (acmp[i], scmp[i], aps[i], sps[i])
             lk_cols.extend([aps[i], sps[i]])
     if lk_cols:
-        for pt in srs.commit_lagrange_many(params, jnp.stack(lk_cols),
-                                           MSM_C, mesh=mesh,
-                                           mesh_axis=mesh_axis):
+        for pt in pcs.commit_evals_many(params, dom, jnp.stack(lk_cols),
+                                        MSM_C, mesh=mesh,
+                                        mesh_axis=mesh_axis):
             tw.write_point(pt)
     lk_phase.__exit__(None, None, None)
 
@@ -645,8 +653,9 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
         zcols.append(z)
     # transcript order: permutation Z's then lookup Z's (one batched MSM)
     with phase("grand_products_commit"):
-        for pt in srs.commit_lagrange_many(params, jnp.stack(zcols), MSM_C,
-                                           mesh=mesh, mesh_axis=mesh_axis):
+        for pt in pcs.commit_evals_many(params, dom, jnp.stack(zcols),
+                                        MSM_C, mesh=mesh,
+                                        mesh_axis=mesh_axis):
             tw.write_point(pt)
 
     y = tw.squeeze_challenge()
@@ -710,7 +719,7 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
     for i in range(EXT_FACTOR):
         coeffs[f"h{i}"] = h_coeff[i * n:(i + 1) * n]
         evals[f"h{i}"] = h_evals[i]
-    for pt in srs.commit_coeff_many(
+    for pt in pcs.commit_coeff_many(
             params, h_coeff.reshape(EXT_FACTOR, n, 16), MSM_C,
             mesh=mesh, mesh_axis=mesh_axis):
         tw.write_point(pt)
@@ -725,17 +734,18 @@ def create_proof(params: srs.ParamsKZG, pk: ProvingKey,
     with phase("evaluations"):
         grid = eval_many([coeffs[name] for name, _ in sched],
                          [rotation_point(dom, x, r) for r in all_rots])
-    coeffs = None        # only eval forms are needed from here on
     claims = []
     for i, (name, rots) in enumerate(sched):
         pts = [rotation_point(dom, x, r) for r in rots]
         evs = [grid[i][rot_pos[r]] for r in rots]
         for e in evs:
             tw.write_scalar(e)
-        claims.append(shplonk.Claim(tuple(pts), tuple(evs),
-                                    evals_dev=evals[name]))
+        claims.append(shplonk.Claim(
+            tuple(pts), tuple(evs), evals_dev=evals[name],
+            coeffs_dev=coeffs[name] if is_ipa else None))
+    coeffs = None        # only the per-claim forms are needed from here on
 
     # --- phase 6: multiopen ------------------------------------------------------
     with phase("multiopen"):
-        shplonk.open_claims(params, dom, claims, tw)
+        pcs.open_all(params, dom, claims, tw, rng=rng)
     return tw.finalize()

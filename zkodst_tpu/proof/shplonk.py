@@ -40,11 +40,14 @@ from .domain import Domain
 
 @dataclass
 class Claim:
-    """One opening claim. evals_dev is prover-only ((n,16) eval form on H)."""
+    """One opening claim. evals_dev is prover-only ((n,16) eval form on H);
+    coeffs_dev is the coefficient form, carried only by the IPA backend
+    (proof/pcs.py) whose openings run over the monomial basis."""
 
     points: Tuple[int, ...]
     evals: Tuple[int, ...]
-    evals_dev: object = None        # prover
+    evals_dev: object = None        # prover (KZG/SHPLONK path)
+    coeffs_dev: object = None       # prover (IPA path)
     commitment: object = None       # verifier (affine int tuple)
 
 

@@ -21,7 +21,7 @@ import numpy as np
 
 from ..ops import u64
 from ..ops.pyfield import FR as PFR
-from . import constraints, shplonk, srs
+from . import constraints, pcs, shplonk, srs
 from .domain import DELTA, EXT_FACTOR, Domain
 from .keygen import VerifyingKey
 from .prover import query_schedule, rotation_point
@@ -82,8 +82,11 @@ class _PointCtx:
         return a * b % PFR.p
 
 
-def verify_proof(params: srs.ParamsKZG, vk: VerifyingKey,
+def verify_proof(params, vk: VerifyingKey,
                  instance_u64: Dict[str, np.ndarray], proof: bytes) -> bool:
+    """params: srs.ParamsKZG or ipa.ParamsIPA — the multiopen check
+    dispatches on the scheme (proof/pcs.py); everything before it
+    (transcript replay, quotient identity) is scheme-independent."""
     import hashlib
 
     circ = vk.circ
@@ -149,7 +152,7 @@ def verify_proof(params: srs.ParamsKZG, vk: VerifyingKey,
         if numer % PFR.p != h_at_x * dom.vanishing_eval(x) % PFR.p:
             return False
 
-        if not shplonk.verify_claims(params, dom, claims, tr):
+        if not pcs.verify_all(params, dom, claims, tr):
             return False
         return tr.done()
     except (AssertionError, ValueError, KeyError, IndexError,
