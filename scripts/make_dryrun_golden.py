@@ -1,0 +1,56 @@
+"""Regenerate the multichip dry-run golden fixture + its disk caches.
+
+Commits three artifacts (run ONLY on an intentional circuit/format change):
+  tests/golden/dryrun_cache/srs_bn254_k6_s2.npz   toy SRS
+  tests/golden/dryrun_cache/pk_<fingerprint>.npz  toy proving-key cache
+  tests/golden/dryrun_proof_v1.json               single-chip proof bytes
+
+The dry run (scripts/dryrun_stage2.py) asserts the SHARDED prover
+reproduces these bytes exactly.
+
+Usage: python scripts/make_dryrun_golden.py
+"""
+import hashlib, json, os, sys, time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import __graft_entry__ as ge
+ge._enable_compile_cache()
+
+from zkodst_tpu.proof import keygen, prover, srs, verifier
+from zkodst_tpu.proof.transcript import Blake2bWrite
+
+BLIND_SEED = 11
+
+def main():
+    t0 = time.time()
+    circ, witness = ge._toy_circuit_k(6)
+    cache_dir = os.path.join(REPO, "tests", "golden", "dryrun_cache")
+    params = srs.get_or_create(6, cache_dir, seed=2)
+    print("srs", round(time.time()-t0,1), flush=True); t0=time.time()
+    pk = keygen.keygen(params, circ, cache_dir=cache_dir)
+    print("keygen", round(time.time()-t0,1), flush=True); t0=time.time()
+    proof = prover.create_proof(params, pk, witness, {}, seed=BLIND_SEED)
+    print("prove", round(time.time()-t0,1), flush=True); t0=time.time()
+    assert verifier.verify_proof(params, pk.vk, {}, proof)
+    print("verify", round(time.time()-t0,1), flush=True)
+    tw = Blake2bWrite()
+    pk.vk.hash_into(tw)
+    out = {
+        "format_version": 1,
+        "circuit": "toy k=6 (__graft_entry__._toy_circuit_k)",
+        "srs_seed": 2,
+        "blind_seed": BLIND_SEED,
+        "proof_hex": proof.hex(),
+        "proof_sha256": hashlib.sha256(proof).hexdigest(),
+        "vk_transcript_digest": hex(tw.squeeze_challenge()),
+    }
+    path = os.path.join(REPO, "tests", "golden", "dryrun_proof_v1.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"wrote {path} ({len(proof)} proof bytes)")
+
+if __name__ == "__main__":
+    main()

@@ -9,11 +9,19 @@ import sys
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    # cap codegen to a generic AVX2 target: compiled-program caches stay
+    # loadable across hosts (round-2 lesson: AOT entries compiled with
+    # host-specific machine features refuse to load elsewhere)
+    + " --xla_cpu_max_isa=AVX2"
 )
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# compile speed over runtime: tests run tiny shapes on a 1-core host where
+# XLA compilation, not execution, is the wall-clock
+jax.config.update("jax_exec_time_optimization_effort", -1.0)
+jax.config.update("jax_memory_fitting_effort", -1.0)
 # Cache compiled programs across test runs (big field/EC graphs are
 # compile-heavy; runtime is trivial at test sizes).
 jax.config.update("jax_compilation_cache_dir",

@@ -23,8 +23,14 @@ def test_runconfig_defaults_and_mesh(monkeypatch):
     assert axis == ("host", "chip")
 
 
-def test_runconfig_rejects_unbuilt_backend():
+def test_runconfig_accepts_both_backends():
     from zkodst_tpu.config import RunConfig
 
-    with pytest.raises(NotImplementedError, match="IPA"):
-        RunConfig(commitment="ipa")
+    assert RunConfig(commitment="ipa").commitment == "ipa"
+    assert RunConfig(commitment="kzg").commitment == "kzg"
+    with pytest.raises(ValueError, match="commitment"):
+        RunConfig(commitment="fri")
+    with pytest.raises(NotImplementedError, match="single-chip"):
+        RunConfig(commitment="ipa", mesh_shape=(8,))
+    with pytest.raises(NotImplementedError, match="BN254|bn254|Pasta"):
+        RunConfig(curve="pasta")

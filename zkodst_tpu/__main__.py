@@ -27,6 +27,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="deterministic blinding seed (default: OS entropy)")
     p.add_argument("--mesh", default=None,
                    help="mesh shape, e.g. '8' or '2x4' (multi-chip prover)")
+    p.add_argument("--commitment", default="kzg", choices=("kzg", "ipa"),
+                   help="polynomial commitment scheme: kzg (BN254+SHPLONK, "
+                        "the reference's benchmarking path) or ipa "
+                        "(transparent setup, the zcash-halo2 path)")
     p.add_argument("--quiet", action="store_true")
 
 
@@ -42,7 +46,8 @@ def _config(args):
         kw["mesh_shape"] = tuple(int(x) for x in args.mesh.split("x"))
         kw["mesh_axes"] = ("host", "chip")[-len(kw["mesh_shape"]):]
     return RunConfig(rounds=args.rounds, cache_dir=args.cache_dir,
-                     seed=args.seed, echo=not args.quiet, **kw)
+                     seed=args.seed, echo=not args.quiet,
+                     commitment=getattr(args, "commitment", "kzg"), **kw)
 
 
 def cmd_prove(args) -> int:
@@ -52,7 +57,8 @@ def cmd_prove(args) -> int:
     mesh, axis = cfg.make_mesh()
     pipe = api.setup_blake2f(k=cfg.k, n_inst=cfg.n_inst, rounds=cfg.rounds,
                              cache_dir=cfg.cache_dir, echo=cfg.echo,
-                             mesh=mesh, mesh_axis=axis or "x")
+                             mesh=mesh, mesh_axis=axis or "x",
+                             scheme=cfg.commitment)
     h, m, t, f = api.eip152_inputs(pipe.n_inst)
     proof, inst = pipe.prove(h, m, t, f, seed=cfg.seed)
     ok = pipe.verify(inst, proof)

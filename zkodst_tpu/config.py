@@ -36,11 +36,19 @@ class RunConfig:
     echo: bool = True                # phase-timer prints
 
     def __post_init__(self):
-        if self.commitment != "kzg" or self.curve != "bn254":
+        if self.commitment not in ("kzg", "ipa"):
+            raise ValueError(
+                f"unknown commitment scheme {self.commitment!r} — the two "
+                "backends of the reference are 'kzg' (halo2-ce KZG/BN254 + "
+                "SHPLONK, benchmarking crate) and 'ipa' (zcash-halo2 "
+                "transparent IPA, circuit-crate criterion bench)")
+        if self.curve != "bn254":
             raise NotImplementedError(
-                "only KZG/BN254 is built (the IPA/Pasta backend of the "
-                "reference's circuit crate is documented out of scope — "
-                "BASELINE.md, README §scope)")
+                "only BN254 is built (Pasta is a documented divergence — "
+                "docs/FORMAT.md)")
+        if self.commitment == "ipa" and self.mesh_shape is not None:
+            raise NotImplementedError(
+                "the IPA backend is single-chip (use KZG for mesh runs)")
         if self.mesh_shape is not None and len(self.mesh_shape) != len(
                 self.mesh_axes):
             self.mesh_axes = tuple(

@@ -237,7 +237,10 @@ class Field:
 
         On TPU backends, large batches route through the fused Pallas
         kernel (pallas/mulmod.py — ~14× faster and no giant scan
-        intermediates); the jnp path below is the CPU/reference path."""
+        intermediates); the jnp path below is the CPU/reference path.
+        (A flat full-word Montgomery variant — no inner scan — was tried
+        for XLA:CPU compile speed and measured ~40% SLOWER to compile:
+        total instruction count, not loop nesting, dominates.)"""
         if _pallas_wanted(a, b):
             from ..pallas.mulmod import mul_limbs_pallas
 

@@ -175,6 +175,20 @@ def ntt(F: Field, a, w: int):
 
         return ntt_pallas(F, a, w)
     rev, in_idx, out_inv, tw_exp, wtab = _device_plan(F, n, w)
+    from ..utils import compilebudget as cb
+
+    if cb.unify(n) and not _tracing():
+        # collapse every batch shape onto ONE (PAD_B, n, L) graph — a cold
+        # 1-core prove otherwise compiles a distinct scan per batch size
+        lead = a.shape[:-2]
+        flat = a.reshape((-1, n, a.shape[-1]))
+        padded, b = cb.pad_batch(flat)
+        chunks = []
+        for i in range(0, padded.shape[0], cb.pad_b()):
+            chunks.append(_ntt_impl(F, padded[i: i + cb.pad_b()], rev,
+                                    in_idx, out_inv, tw_exp, wtab))
+        out = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+        return out[:b].reshape(lead + (n, a.shape[-1]))
     return _ntt_impl(F, a, rev, in_idx, out_inv, tw_exp, wtab)
 
 

@@ -78,10 +78,12 @@ G1_GEN = (1, 2)
 # ---------------------------------------------------------------------------
 
 class Group:
-    def __init__(self, add, sub, mul, inv, neg, smul, zero, one, b):
+    def __init__(self, add, sub, mul, inv, neg, smul, zero, one, b,
+                 order: int = None):
         self.fadd, self.fsub, self.fmul = add, sub, mul
         self.finv, self.fneg, self.fsmul = inv, neg, smul
         self.fzero, self.fone, self.b = zero, one, b
+        self.order = order if order is not None else R_ORDER
 
     def is_on_curve(self, pt) -> bool:
         if pt is None:
@@ -116,7 +118,7 @@ class Group:
         return (p[0], self.fneg(p[1]))
 
     def mul(self, p, k: int):
-        k %= R_ORDER
+        k %= self.order
         acc, base = None, p
         while k:
             if k & 1:
@@ -141,3 +143,23 @@ assert G1.is_on_curve(G1_GEN), "G1 generator not on curve"
 assert G2.is_on_curve(G2_GEN), "G2 generator not on curve"
 assert G1.mul(G1_GEN, R_ORDER) is None, "G1 generator has wrong order"
 assert G2.mul(G2_GEN, R_ORDER) is None, "G2 generator has wrong order"
+
+
+# ---------------------------------------------------------------------------
+# Pasta: the "pallas" curve of the reference's circuit crate
+# (pasta_curves pallas::Point — y² = x³ + 5 over PALLAS_BASE, scalar field
+# VESTA_BASE, cofactor 1; generator (-1, 2); table16.rs:93-98)
+# ---------------------------------------------------------------------------
+
+from .pyfield import PALLAS_BASE, VESTA_BASE  # noqa: E402
+
+_PP = PALLAS_BASE
+PASTA_G1 = Group(lambda a, b: (a + b) % _PP, lambda a, b: (a - b) % _PP,
+                 lambda a, b: a * b % _PP, lambda a: pow(a, _PP - 2, _PP),
+                 lambda a: (-a) % _PP, lambda a, k: a * k % _PP,
+                 0, 1, 5, order=VESTA_BASE)
+PASTA_G1_GEN = (_PP - 1, 2)
+
+assert PASTA_G1.is_on_curve(PASTA_G1_GEN), "Pasta generator not on curve"
+assert PASTA_G1.mul(PASTA_G1_GEN, VESTA_BASE) is None, \
+    "Pasta generator has wrong order"

@@ -19,7 +19,19 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+import jax.numpy as jnp
+
 from ..ops import curve, msm
+
+# jitted shard_map programs, keyed by (mesh, axis, ndev, c, kind) — a fresh
+# jax.jit wrapper per call would re-trace; shapes key the inner jit cache
+_FN_CACHE: dict = {}
+
+
+def _cached_fn(key, make):
+    if key not in _FN_CACHE:
+        _FN_CACHE[key] = make()
+    return _FN_CACHE[key]
 
 
 def msm_sharded(points, scalar_limbs, mesh: Mesh, axis: str = "dp",
@@ -35,15 +47,27 @@ def msm_sharded(points, scalar_limbs, mesh: Mesh, axis: str = "dp",
     def local(pts, scs):
         part = msm.msm(pts, scs, c)                    # (3, 16)
         parts = jax.lax.all_gather(part, axis)         # (D, 3, 16)
-        acc = parts[0]
-        for d in range(1, ndev):                       # static tree is tiny
-            acc = curve.add(acc, parts[d])
-        return acc
+        # pairwise-halving fold: log2(D) EC-add instantiations in the
+        # graph instead of D-1 (the unrolled chain measurably slowed the
+        # 1-core XLA:CPU compile of the whole shard_map program)
+        while parts.shape[0] > 1:
+            m = parts.shape[0]
+            if m % 2:
+                parts = jnp.concatenate(
+                    [parts, curve.identity((1,))], axis=0)
+                m += 1
+            parts = curve.add(parts[0::2], parts[1::2])
+        return parts[0]
 
     # check_vma off: the post-all_gather tree sum is replicated by
-    # construction, but the static checker can't see through the EC adds
-    fn = shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis)),
-                   out_specs=P(), check_vma=False)
+    # construction, but the static checker can't see through the EC adds.
+    # jit-wrapped so the program lands in the persistent compile cache
+    # (bare shard_map executions bypass it — each process re-compiled).
+    fn = _cached_fn(
+        (mesh, axis, ndev, c, "single"),
+        lambda: jax.jit(shard_map(local, mesh=mesh,
+                                  in_specs=(P(axis), P(axis)),
+                                  out_specs=P(), check_vma=False)))
     return fn(points, scalar_limbs)
 
 
@@ -63,13 +87,22 @@ def msm_many_sharded(points, scalars_batch, mesh: Mesh, axis="dp",
     def local(pts, scs):
         part = jax.vmap(lambda s: msm.msm(pts, s, c))(scs)   # (B, 3, 16)
         parts = jax.lax.all_gather(part, axis)               # (D, B, 3, 16)
-        acc = parts[0]
-        for d in range(1, ndev):
-            acc = curve.add(acc, parts[d])
-        return acc
+        while parts.shape[0] > 1:
+            m = parts.shape[0]
+            if m % 2:
+                parts = jnp.concatenate(
+                    [parts, jnp.broadcast_to(curve.identity(),
+                                             (1,) + parts.shape[1:])],
+                    axis=0)
+                m += 1
+            parts = curve.add(parts[0::2], parts[1::2])
+        return parts[0]
 
-    fn = shard_map(local, mesh=mesh, in_specs=(P(axis), P(None, axis)),
-                   out_specs=P(), check_vma=False)
+    fn = _cached_fn(
+        (mesh, axis, ndev, c, "many"),
+        lambda: jax.jit(shard_map(local, mesh=mesh,
+                                  in_specs=(P(axis), P(None, axis)),
+                                  out_specs=P(), check_vma=False)))
     return fn(points, scalars_batch)
 
 

@@ -32,6 +32,17 @@ from ..ops.field import Field
 
 _FIELDS: dict = {}
 
+# jitted shard_map programs, keyed by (field, n1, n2, w, mesh, axis, kind)
+# — a fresh jax.jit wrapper per call would re-TRACE the whole graph every
+# time; the cache makes repeat calls (one per prover phase) free
+_FN_CACHE: dict = {}
+
+
+def _cached_fn(key, make):
+    if key not in _FN_CACHE:
+        _FN_CACHE[key] = make()
+    return _FN_CACHE[key]
+
 
 @lru_cache(maxsize=None)
 def _twiddles(field_key, n1: int, n2: int, w: int) -> np.ndarray:
@@ -78,9 +89,11 @@ def ntt_sharded(F: Field, a, w: int, mesh: Mesh, axis: str = "x",
         # outer NTT along axis 1 (size n2, local)
         return nttmod.ntt(F, x, w2)                    # (n1/D, n2, 16)
 
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(None, axis), P(None, axis)),
-                   out_specs=P(axis, None))
+    fn = _cached_fn(
+        (F._key, n1, n2, w, mesh, axis, "fwd"),
+        lambda: jax.jit(shard_map(local, mesh=mesh,
+                                  in_specs=(P(None, axis), P(None, axis)),
+                                  out_specs=P(axis, None))))
     c = fn(a.reshape(n1, n2, 16), tw)
     return c.reshape(n, 16)
 
@@ -111,9 +124,11 @@ def intt_sharded(F: Field, c, w: int, mesh: Mesh, axis: str = "x",
         y = jnp.moveaxis(y, -2, 0)
         return F.mul(y, jnp.broadcast_to(ninv, y.shape))
 
-    fn = shard_map(local_full, mesh=mesh,
-                   in_specs=(P(axis, None), P(None, axis)),
-                   out_specs=P(None, axis))
+    fn = _cached_fn(
+        (F._key, n1, n2, w, mesh, axis, "inv"),
+        lambda: jax.jit(shard_map(local_full, mesh=mesh,
+                                  in_specs=(P(axis, None), P(None, axis)),
+                                  out_specs=P(None, axis))))
     a = fn(c.reshape(n1, n2, 16), tw)
     return a.reshape(n, 16)
 
@@ -169,10 +184,19 @@ def ntt_sharded_nat(F: Field, a, w: int, mesh: Mesh, axis="x",
                                tiled=True)             # (B, n1/D, n2, 16)
         return nttmod.ntt(F, x, w2)
 
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(None, None, axis), P(None, axis)),
-                   out_specs=P(None, axis, None))
-    c = fn(a.reshape(B, n1, n2, 16), tw)               # C[k1, k2]
+    fn = _cached_fn(
+        (F._key, n1, n2, w, mesh, axis, "fwd_nat"),
+        lambda: jax.jit(shard_map(local, mesh=mesh,
+                                  in_specs=(P(None, None, axis),
+                                            P(None, axis)),
+                                  out_specs=P(None, axis, None))))
+    from ..utils import compilebudget as cbudget
+
+    flat = a.reshape(B, n1, n2, 16)
+    if cbudget.unify(n):
+        c = cbudget.chunked_call(flat, lambda x: fn(x, tw))
+    else:
+        c = fn(flat, tw)                                # C[k1, k2]
     nat = jnp.transpose(c, (0, 2, 1, 3)).reshape(B, n, 16)
     return nat.reshape(shape)
 
@@ -206,8 +230,16 @@ def intt_sharded_nat(F: Field, x, w: int, mesh: Mesh, axis="x",
 
     # natural (..., n) -> C[k1, k2]: f = k1 + n1·k2 ⇒ M[k2][k1] transpose
     c = jnp.transpose(x.reshape(B, n2, n1, 16), (0, 2, 1, 3))
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(None, axis, None), P(None, axis)),
-                   out_specs=P(None, None, axis))
-    ab = fn(c, tw)                                     # (B, n1, n2, 16)
+    fn = _cached_fn(
+        (F._key, n1, n2, w, mesh, axis, "inv_nat"),
+        lambda: jax.jit(shard_map(local, mesh=mesh,
+                                  in_specs=(P(None, axis, None),
+                                            P(None, axis)),
+                                  out_specs=P(None, None, axis))))
+    from ..utils import compilebudget as cbudget
+
+    if cbudget.unify(n):
+        ab = cbudget.chunked_call(c, lambda x: fn(x, tw))
+    else:
+        ab = fn(c, tw)                                 # (B, n1, n2, 16)
     return ab.reshape(shape)

@@ -47,11 +47,36 @@ class VerifyingKey:
                 for i in range(0, len(self.perm_cols), PERM_CHUNK)]
 
     def hash_into(self, transcript) -> None:
+        """Bind the vk into the transcript.
+
+        v1: absorb k + every fixed/σ commitment as common values.
+        halo2ce mode: absorb ONE `transcript_repr` scalar — halo2's
+        `VerifyingKey::hash_into` mechanism (blake2b over a canonical vk
+        serialization, wide-reduced mod r; docs/FORMAT.md §compat)."""
+        if getattr(transcript, "mode", "v1") == "halo2ce":
+            transcript.common_scalar(self.transcript_repr())
+            return
         transcript.common_scalar(self.k)
         for name in sorted(self.fixed_commitments):
             transcript.common_point(self.fixed_commitments[name])
         for c in self.sigma_commitments:
             transcript.common_point(c)
+
+    def transcript_repr(self) -> int:
+        """One scalar binding the whole vk (halo2ce-mode hash_into)."""
+        import hashlib
+
+        from .transcript import compress_g1_halo2ce
+
+        h = hashlib.blake2b(digest_size=64,
+                            person=b"Halo2-Verify-Key")
+        h.update(self.k.to_bytes(4, "little"))
+        for name in sorted(self.fixed_commitments):
+            h.update(name.encode())
+            h.update(compress_g1_halo2ce(self.fixed_commitments[name]))
+        for c in self.sigma_commitments:
+            h.update(compress_g1_halo2ce(c))
+        return int.from_bytes(h.digest(), "little") % FR.p
 
 
 @dataclass

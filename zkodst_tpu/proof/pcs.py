@@ -52,8 +52,16 @@ def commit_evals_many(params, dom: Domain, evals_batch, c: int,
     scalar smallness."""
     if is_ipa(params):
         assert mesh is None, "IPA backend is single-chip (use KZG for mesh)"
+        from ..utils import compilebudget as cb
+
         cfs = dom.intt(evals_batch)
-        accs = msm.msm_many_mont(jnp.asarray(params.g), cfs, c)
+        if cb.unify(dom.n):
+            cc = min(c, max(8, dom.n.bit_length() - 1))
+            accs = cb.chunked_call(
+                cfs, lambda x: msm.msm_many_mont(jnp.asarray(params.g),
+                                                 x, cc))
+        else:
+            accs = msm.msm_many_mont(jnp.asarray(params.g), cfs, c)
         return curve.to_affine_ints(np.asarray(accs))
     return srs.commit_lagrange_many(params, evals_batch, c, mesh=mesh,
                                     mesh_axis=mesh_axis,
@@ -66,8 +74,18 @@ def commit_coeff_many(params, coeffs_batch, c: int, mesh=None,
     """Commit B coefficient-form polynomials -> list of B affine points."""
     if is_ipa(params):
         assert mesh is None, "IPA backend is single-chip (use KZG for mesh)"
+        from ..utils import compilebudget as cb
+
         m = coeffs_batch.shape[1]
-        accs = msm.msm_many_mont(jnp.asarray(params.g[:m]), coeffs_batch, c)
+        if cb.unify(m):
+            cc = min(c, max(8, m.bit_length() - 1))
+            accs = cb.chunked_call(
+                coeffs_batch,
+                lambda x: msm.msm_many_mont(jnp.asarray(params.g[:m]),
+                                            x, cc))
+        else:
+            accs = msm.msm_many_mont(jnp.asarray(params.g[:m]),
+                                     coeffs_batch, c)
         return curve.to_affine_ints(np.asarray(accs))
     return srs.commit_coeff_many(params, coeffs_batch, c, mesh=mesh,
                                  mesh_axis=mesh_axis)

@@ -478,7 +478,8 @@ def create_proof(params, pk: ProvingKey,
                  advice_u64: Dict[str, np.ndarray],
                  instance_u64: Dict[str, np.ndarray],
                  seed: int | None = None, metrics=None,
-                 mesh=None, mesh_axis: str = "x") -> bytes:
+                 mesh=None, mesh_axis: str = "x",
+                 transcript_mode: str = "v1") -> bytes:
     """params: srs.ParamsKZG (SHPLONK multiopen + pairing check) or
     ipa.ParamsIPA (transparent Bulletproofs-style multiopen) — the two
     backends of the reference, dispatched via proof/pcs.py.
@@ -527,7 +528,7 @@ def create_proof(params, pk: ProvingKey,
         blinds = F.from_ints([rng.randrange(PFR.p)
                               for _ in range(BLINDING_ROWS)])
         return ev.at[n - BLINDING_ROWS:].set(jnp.asarray(blinds))
-    tw = Blake2bWrite()
+    tw = Blake2bWrite(mode=transcript_mode)
     vk.hash_into(tw)
 
     # absorb the instance columns (verifier recomputes the same bytes)

@@ -150,6 +150,12 @@ def commit_lagrange(params: ParamsKZG, evals_mont, c: int = 13):
 
     evals_mont: (n, 16) uint32 Fr Montgomery limbs. Returns a device-side
     projective point (3, 16)."""
+    from ..utils import compilebudget as cb
+
+    if cb.unify(evals_mont.shape[0]):
+        padded, _ = cb.pad_batch(evals_mont[None])     # reuse the batched graph
+        cc = min(c, max(8, evals_mont.shape[0].bit_length() - 1))
+        return msm.msm_many_mont(params.g1_lagrange, padded, cc)[0]
     return _msm_chunked(params.g1_lagrange, evals_mont, c)
 
 
@@ -172,13 +178,31 @@ def commit_lagrange_many(params: ParamsKZG, evals_batch, c: int = 13,
     through a tiny separate full-width MSM, EC-added back on."""
     import jax.numpy as jnp
 
+    from ..utils import compilebudget as cb
+
     if mesh is not None:
         from ..parallel.msm_sharded import msm_many_sharded_mont
 
-        accs = msm_many_sharded_mont(params.g1_lagrange, evals_batch,
-                                     mesh, mesh_axis, c)
+        if cb.unify(evals_batch.shape[1]):
+            accs = cb.chunked_call(
+                evals_batch,
+                lambda eb: msm_many_sharded_mont(params.g1_lagrange, eb,
+                                                 mesh, mesh_axis, c))
+        else:
+            accs = msm_many_sharded_mont(params.g1_lagrange, evals_batch,
+                                         mesh, mesh_axis, c)
         return curve.to_affine_ints(np.asarray(accs))
     n = evals_batch.shape[1]
+    if cb.unify(n):
+        # small domains: one padded full-width MSM graph for every commit
+        # phase (the body/tail split would add two more graphs for nothing);
+        # the window width is normalized so every caller's `c` lands on the
+        # same static-argument jit key
+        cc = min(c, max(8, n.bit_length() - 1))
+        accs = cb.chunked_call(
+            evals_batch,
+            lambda eb: msm.msm_many_mont(params.g1_lagrange, eb, cc))
+        return curve.to_affine_ints(np.asarray(accs))
     if body_bits is not None:
         body = evals_batch
         if tail_rows:
@@ -204,19 +228,39 @@ def commit_lagrange_many(params: ParamsKZG, evals_batch, c: int = 13,
 
 def commit_coeff(params: ParamsKZG, coeffs_mont, c: int = 13):
     """Commit a polynomial in coefficient form (may be shorter than n)."""
+    from ..utils import compilebudget as cb
+
     m = coeffs_mont.shape[0]
+    if cb.unify(m):
+        padded, _ = cb.pad_batch(coeffs_mont[None])
+        cc = min(c, max(8, m.bit_length() - 1))
+        return msm.msm_many_mont(params.g1[:m], padded, cc)[0]
     return _msm_chunked(params.g1[:m], coeffs_mont, c)
 
 
 def commit_coeff_many(params: ParamsKZG, coeffs_batch, c: int = 13,
                       mesh=None, mesh_axis: str = "x"):
     """Batched coefficient-form commits -> list of affine points."""
+    from ..utils import compilebudget as cb
+
     m = coeffs_batch.shape[1]
     if mesh is not None:
         from ..parallel.msm_sharded import msm_many_sharded_mont
 
-        accs = msm_many_sharded_mont(params.g1[:m], coeffs_batch,
-                                     mesh, mesh_axis, c)
+        if cb.unify(m):
+            accs = cb.chunked_call(
+                coeffs_batch,
+                lambda cbt: msm_many_sharded_mont(params.g1[:m], cbt,
+                                                  mesh, mesh_axis, c))
+        else:
+            accs = msm_many_sharded_mont(params.g1[:m], coeffs_batch,
+                                         mesh, mesh_axis, c)
+        return curve.to_affine_ints(np.asarray(accs))
+    if cb.unify(m):
+        cc = min(c, max(8, m.bit_length() - 1))
+        accs = cb.chunked_call(
+            coeffs_batch,
+            lambda cbt: msm.msm_many_mont(params.g1[:m], cbt, cc))
         return curve.to_affine_ints(np.asarray(accs))
     accs = None
     for i in range(0, m, MSM_CHUNK):
@@ -251,11 +295,13 @@ def load(path: str) -> ParamsKZG:
                      g1_lagrange=z["g1_lagrange"], g2=g2, s_g2=s_g2)
 
 
-def get_or_create(k: int, cache_dir: str = ".zkodst_cache") -> ParamsKZG:
+def get_or_create(k: int, cache_dir: str = ".zkodst_cache",
+                  seed: int = 0) -> ParamsKZG:
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"srs_bn254_k{k}.npz")
+    sfx = f"_s{seed}" if seed else ""
+    path = os.path.join(cache_dir, f"srs_bn254_k{k}{sfx}.npz")
     if os.path.exists(path):
         return load(path)
-    params = setup(k)
+    params = setup(k, seed=seed)
     save(params, path)
     return params

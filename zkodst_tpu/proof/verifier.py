@@ -83,16 +83,21 @@ class _PointCtx:
 
 
 def verify_proof(params, vk: VerifyingKey,
-                 instance_u64: Dict[str, np.ndarray], proof: bytes) -> bool:
+                 instance_u64: Dict[str, np.ndarray], proof: bytes,
+                 transcript_mode: str = "v1") -> bool:
     """params: srs.ParamsKZG or ipa.ParamsIPA — the multiopen check
     dispatches on the scheme (proof/pcs.py); everything before it
-    (transcript replay, quotient identity) is scheme-independent."""
+    (transcript replay, quotient identity) is scheme-independent.
+
+    transcript_mode: "v1" (the pinned native wire format) or "halo2ce"
+    (the compatibility flavor, docs/FORMAT.md §compat) — must match the
+    prover's."""
     import hashlib
 
     circ = vk.circ
     dom = Domain(circ.k)
     n, u = dom.n, circ.usable_rows
-    tr = Blake2bRead(proof)
+    tr = Blake2bRead(proof, mode=transcript_mode)
     vk.hash_into(tr)
     hsh = hashlib.blake2b(digest_size=64)
     for name in circ.instance_names:
