@@ -91,24 +91,19 @@ def commit_coeff_many(params, coeffs_batch, c: int, mesh=None,
                                  mesh_axis=mesh_axis)
 
 
-def _flatten(claims: List[shplonk.Claim]) -> List[ipa.IPAClaim]:
-    """(poly, rotations) claims -> per-(poly, point) IPA claims, in the
-    canonical schedule order (prover and verifier must agree)."""
-    flat = []
-    for cl in claims:
-        for pt, ev in zip(cl.points, cl.evals):
-            flat.append(ipa.IPAClaim(point=pt, value=ev,
-                                     coeffs_mont=cl.coeffs_dev,
-                                     commitment=cl.commitment))
-    return flat
-
-
 def open_all(params, dom: Domain, claims: List[shplonk.Claim], tw,
              rng=None) -> None:
-    """Prover-side multiopen. KZG claims need `evals_dev`; IPA claims need
-    `coeffs_dev` (the prover has both forms by the eval phase)."""
+    """Prover-side multiopen (claims carry `evals_dev`; the IPA path also
+    reuses them for the eval-form h/L passes).
+
+    Both schemes now run the SAME BDFG20/SHPLONK reduction to a single
+    final check: KZG finishes with two witness commitments + a pairing,
+    IPA with one commitment + ONE log-size opening
+    (ipa.open_claims_compressed — round 2's per-point RLC did ~5
+    independent n-point openings per proof, measured 81 s of an 89 s
+    k=17 IPA prove)."""
     if is_ipa(params):
-        ipa.open_claims(params, _flatten(claims), tw, rng=rng)
+        ipa.open_claims_compressed(params, dom, claims, tw, rng=rng)
         return
     shplonk.open_claims(params, dom, claims, tw)
 
@@ -117,5 +112,5 @@ def verify_all(params, dom: Domain, claims: List[shplonk.Claim],
                tr) -> bool:
     """Verifier-side multiopen check (claims carry `commitment`)."""
     if is_ipa(params):
-        return ipa.verify_claims(params, _flatten(claims), tr, n=dom.n)
+        return ipa.verify_claims_compressed(params, dom, claims, tr)
     return shplonk.verify_claims(params, dom, claims, tr)

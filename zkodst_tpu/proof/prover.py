@@ -561,6 +561,29 @@ def create_proof(params, pk: ProvingKey,
             jnp.asarray(circ.fixed[lk.table_cols[0]])[:, 0], u)
         for lk in circ.lookups}
 
+    # Phase overlap (SURVEY.md §2.4 PP row): coefficient forms of already-
+    # final columns are challenge-INDEPENDENT, so their iNTTs are enqueued
+    # as each phase produces its columns — the device chews through them
+    # while the host blocks on commit readbacks and transcript hashing,
+    # instead of bunching every iNTT behind the y challenge in phase 4.
+    # ZKODST_NO_OVERLAP=1 restores the bunched schedule (A/B measurement).
+    import os as _os
+
+    # (the IPA commit path iNTTs internally — early extra iNTTs would
+    # just duplicate device work there)
+    overlap = not _os.environ.get("ZKODST_NO_OVERLAP") and not is_ipa
+    pre_coeffs: Dict[str, jnp.ndarray] = {}
+
+    def pre_intt(names):
+        if not overlap or not names:
+            return
+        stack = dom.intt(jnp.stack([evals[nm] for nm in names]),
+                         mesh=mesh, mesh_axis=mesh_axis)
+        for i, nm in enumerate(names):
+            pre_coeffs[nm] = stack[i]
+
+    pre_intt(list(circ.advice_names) + list(circ.instance_names))
+
     # --- phase 1: advice commitments (one batched MSM dispatch) -------------
     # advice cells are u64 values (the spread forms are < 2^32), so the
     # body MSM runs only the 64-bit windows; the full-width blinding tail
@@ -601,6 +624,8 @@ def create_proof(params, pk: ProvingKey,
             lk_data[lk.name] = (acmp[i], scmp[i], aps[i], sps[i])
             lk_cols.extend([aps[i], sps[i]])
     if lk_cols:
+        pre_intt([f"{lk.name}.{sfx}" for lk in circ.lookups
+                  for sfx in ("a_perm", "s_perm")])
         for pt in pcs.commit_evals_many(params, dom, jnp.stack(lk_cols),
                                         MSM_C, mesh=mesh,
                                         mesh_axis=mesh_axis):
@@ -654,6 +679,8 @@ def create_proof(params, pk: ProvingKey,
         zcols.append(z)
     # transcript order: permutation Z's then lookup Z's (one batched MSM)
     with phase("grand_products_commit"):
+        pre_intt([f"perm.z{j}" for j in range(len(vk.perm_chunks))]
+                 + [f"{lk.name}.z" for lk in circ.lookups])
         for pt in pcs.commit_evals_many(params, dom, jnp.stack(zcols),
                                         MSM_C, mesh=mesh,
                                         mesh_axis=mesh_axis):
@@ -668,10 +695,15 @@ def create_proof(params, pk: ProvingKey,
     for i, sc in enumerate(pk.sigma_coeffs):
         coeffs[f"perm.sigma{i}"] = sc
     new_names = [nm for nm in evals if nm not in coeffs]
-    intt_stack = dom.intt(jnp.stack([evals[nm] for nm in new_names]),
-                          mesh=mesh, mesh_axis=mesh_axis)
-    for i, nm in enumerate(new_names):
-        coeffs[nm] = intt_stack[i]
+    missing = [nm for nm in new_names if nm not in pre_coeffs]
+    if missing:
+        intt_stack = dom.intt(jnp.stack([evals[nm] for nm in missing]),
+                              mesh=mesh, mesh_axis=mesh_axis)
+        for i, nm in enumerate(missing):
+            coeffs[nm] = intt_stack[i]
+    for nm in new_names:
+        if nm not in coeffs:
+            coeffs[nm] = pre_coeffs[nm]
     if not hasattr(pk, "_needed_names"):
         rec = _RecCtx()
         constraints.enumerate_constraints(vk, rec)
@@ -742,9 +774,9 @@ def create_proof(params, pk: ProvingKey,
         for e in evs:
             tw.write_scalar(e)
         claims.append(shplonk.Claim(
-            tuple(pts), tuple(evs), evals_dev=evals[name],
-            coeffs_dev=coeffs[name] if is_ipa else None))
-    coeffs = None        # only the per-claim forms are needed from here on
+            tuple(pts), tuple(evs), evals_dev=evals[name]))
+    coeffs = None        # only the per-claim eval forms are needed below
+    # (both schemes' multiopens run the eval-form h/L reduction — pcs.py)
 
     # --- phase 6: multiopen ------------------------------------------------------
     with phase("multiopen"):

@@ -45,7 +45,7 @@ PREFIX_CHALLENGE = b"\x00"
 PREFIX_POINT = b"\x01"
 PREFIX_SCALAR = b"\x02"
 
-MODES = ("v1", "halo2ce")
+MODES = ("v1", "halo2ce", "pasta")
 
 
 def compress_g1(pt) -> bytes:
@@ -117,23 +117,72 @@ def _coords_bytes(pt) -> bytes:
             + int(pt[1]).to_bytes(32, "little"))
 
 
+def compress_pasta(pt) -> bytes:
+    """Pasta pallas-curve point codec: LE x (255 bits), y-parity bit 255.
+
+    PALLAS_BASE is slightly above 2^254, so bit 254 belongs to x and only
+    bit 255 is free for the sign; identity = 32 zero bytes."""
+    if pt is None:
+        return bytes(32)
+    x, y = pt
+    b = bytearray(int(x).to_bytes(32, "little"))
+    assert b[31] & 0x80 == 0, "x exceeds 255 bits"
+    if y & 1:
+        b[31] |= 0x80
+    return bytes(b)
+
+
+def decompress_pasta(data: bytes):
+    """Inverse of compress_pasta (y² = x³ + 5 over PALLAS_BASE)."""
+    from ..ops.pyfield import PALLAS_BASE, PF
+
+    assert len(data) == 32
+    if data == bytes(32):
+        return None
+    pf = PF(PALLAS_BASE, "pallas_base")
+    b = bytearray(data)
+    ysign = (b[31] >> 7) & 1
+    b[31] &= 0x7F
+    x = int.from_bytes(bytes(b), "little")
+    assert x < pf.p, "x out of range"
+    y = pf.sqrt(((x * x % pf.p) * x + 5) % pf.p)
+    assert y is not None, "not on curve"
+    if (y & 1) != ysign:
+        y = pf.p - y
+    return (x, y)
+
+
+def _scalar_mod(mode: str) -> int:
+    if mode == "pasta":
+        from ..ops.pyfield import VESTA_BASE
+
+        return VESTA_BASE
+    return FR.p
+
+
 class Blake2bWrite:
     """Prover-side transcript: absorbs proof elements, emits proof bytes."""
 
     def __init__(self, mode: str = "v1"):
         assert mode in MODES, mode
         self.mode = mode
+        self._r = _scalar_mod(mode)
         self._h = hashlib.blake2b(digest_size=64, person=PERSON)
         self._proof = bytearray()
 
     def _point_absorb(self, pt) -> None:
         self._h.update(PREFIX_POINT)
-        self._h.update(_coords_bytes(pt) if self.mode == "halo2ce"
-                       else compress_g1(pt))
+        if self.mode == "halo2ce":
+            self._h.update(_coords_bytes(pt))
+        else:
+            self._h.update(self._point_wire(pt))
 
     def _point_wire(self, pt) -> bytes:
-        return (compress_g1_halo2ce(pt) if self.mode == "halo2ce"
-                else compress_g1(pt))
+        if self.mode == "halo2ce":
+            return compress_g1_halo2ce(pt)
+        if self.mode == "pasta":
+            return compress_pasta(pt)
+        return compress_g1(pt)
 
     # -- absorb without writing to the proof (public inputs / vk hash) -----
     def common_point(self, pt) -> None:
@@ -141,7 +190,7 @@ class Blake2bWrite:
 
     def common_scalar(self, v: int) -> None:
         self._h.update(PREFIX_SCALAR)
-        self._h.update((int(v) % FR.p).to_bytes(32, "little"))
+        self._h.update((int(v) % self._r).to_bytes(32, "little"))
 
     # -- absorb and append to the proof -------------------------------------
     def write_point(self, pt) -> None:
@@ -150,12 +199,12 @@ class Blake2bWrite:
 
     def write_scalar(self, v: int) -> None:
         self.common_scalar(v)
-        self._proof += (int(v) % FR.p).to_bytes(32, "little")
+        self._proof += (int(v) % self._r).to_bytes(32, "little")
 
     def squeeze_challenge(self) -> int:
         self._h.update(PREFIX_CHALLENGE)
         wide = self._h.copy().digest()
-        return int.from_bytes(wide, "little") % FR.p
+        return int.from_bytes(wide, "little") % self._r
 
     def finalize(self) -> bytes:
         return bytes(self._proof)
@@ -167,18 +216,23 @@ class Blake2bRead:
     def __init__(self, proof: bytes, mode: str = "v1"):
         assert mode in MODES, mode
         self.mode = mode
+        self._r = _scalar_mod(mode)
         self._h = hashlib.blake2b(digest_size=64, person=PERSON)
         self._proof = proof
         self._pos = 0
 
     def common_point(self, pt) -> None:
         self._h.update(PREFIX_POINT)
-        self._h.update(_coords_bytes(pt) if self.mode == "halo2ce"
-                       else compress_g1(pt))
+        if self.mode == "halo2ce":
+            self._h.update(_coords_bytes(pt))
+        elif self.mode == "pasta":
+            self._h.update(compress_pasta(pt))
+        else:
+            self._h.update(compress_g1(pt))
 
     def common_scalar(self, v: int) -> None:
         self._h.update(PREFIX_SCALAR)
-        self._h.update((int(v) % FR.p).to_bytes(32, "little"))
+        self._h.update((int(v) % self._r).to_bytes(32, "little"))
 
     def _take(self, nbytes: int) -> bytes:
         assert self._pos + nbytes <= len(self._proof), "proof too short"
@@ -188,14 +242,18 @@ class Blake2bRead:
 
     def read_point(self):
         data = self._take(32)
-        pt = (decompress_g1_halo2ce(data) if self.mode == "halo2ce"
-              else decompress_g1(data))
+        if self.mode == "halo2ce":
+            pt = decompress_g1_halo2ce(data)
+        elif self.mode == "pasta":
+            pt = decompress_pasta(data)
+        else:
+            pt = decompress_g1(data)
         self.common_point(pt)
         return pt
 
     def read_scalar(self) -> int:
         v = int.from_bytes(self._take(32), "little")
-        assert v < FR.p, "scalar out of range"
+        assert v < self._r, "scalar out of range"
         self._h.update(PREFIX_SCALAR)
         self._h.update(v.to_bytes(32, "little"))
         return v
@@ -203,7 +261,7 @@ class Blake2bRead:
     def squeeze_challenge(self) -> int:
         self._h.update(PREFIX_CHALLENGE)
         wide = self._h.copy().digest()
-        return int.from_bytes(wide, "little") % FR.p
+        return int.from_bytes(wide, "little") % self._r
 
     def done(self) -> bool:
         return self._pos == len(self._proof)
