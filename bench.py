@@ -38,7 +38,10 @@ _T0 = time.time()
 
 
 def _deadline() -> float:
-    return _T0 + float(os.environ.get("ZKODST_BENCH_DEADLINE", "1500"))
+    # staged JSON lines make a large deadline SAFE: the driver parses the
+    # last complete line, so a kill mid-stage just drops that stage —
+    # while a small deadline forfeits the DP-scale stage unconditionally
+    return _T0 + float(os.environ.get("ZKODST_BENCH_DEADLINE", "2700"))
 
 
 def _remaining() -> float:
