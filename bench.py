@@ -17,7 +17,7 @@ prover at 809.6 s/proof — the reference never recorded numbers
 blake2f_circuit_bench.rs:46-101).
 
 Env knobs: ZKODST_BENCH=auto|prove|witness, ZKODST_BENCH_DEADLINE (s,
-default 1500), ZKODST_BENCH_INSTANCES, ZKODST_BENCH_REPEATS,
+default 3600), ZKODST_BENCH_INSTANCES, ZKODST_BENCH_REPEATS,
 ZKODST_BENCH_SCALE_INSTANCES (DP-scale target, default 512; 0 disables),
 ZKODST_PROFILE=<dir> (Perfetto/XPlane trace of the last timed prove).
 """
@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -35,6 +36,26 @@ import numpy as np
 BASELINE_PROVE_S = 809.6
 
 _T0 = time.time()
+
+
+def _setup_cache() -> str:
+    """Wire the persistent compile cache BEFORE any jax work.
+
+    On the axon relay every XLA compile is a ~0.45 s round trip, and a
+    fresh process re-pays it for every eager op that is not in the cache —
+    round 3's min_compile_time=1.0 left ~3000 sub-second programs uncached,
+    which was most of the 1700–2400 s warmup that killed the driver runs.
+    Persist everything (min compile time 0) and configure the cache before
+    the witness stage so its compiles land too."""
+    import jax
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    backend = jax.default_backend()
+    cache = ".jax_cache" if backend == "cpu" else ".jax_cache_tpu"
+    jax.config.update("jax_compilation_cache_dir", os.path.join(repo, cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return backend
 
 
 def _deadline() -> float:
@@ -86,12 +107,7 @@ def bench_prove():
     the per-phase tail makes that visible from the JSON alone). Returns
     (result_dict, pipe, inputs) so main() can print the metric line
     immediately and then upgrade it with the slower extras."""
-    import jax
-
     repo = os.path.dirname(os.path.abspath(__file__))
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(repo, ".jax_cache_tpu"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from zkodst_tpu import api
 
     B = int(os.environ.get("ZKODST_BENCH_INSTANCES", "37"))
@@ -201,39 +217,45 @@ def _flagship_circuit_check(pipe, h, m, t, f) -> float:
     return round(time.perf_counter() - t0, 2)
 
 
-def _dp_scale(pipe, best_prove_s: float) -> dict | None:
+def _dp_scale(pipe, best_prove_s: float, done_proves: int = 0,
+              done_wall_s: float = 0.0) -> dict | None:
     """BASELINE configs 3–4 scale: prove >= SCALE_INSTANCES total EIP-152
     instances as back-to-back independent proofs (DP over time on one
     chip; across chips each proof is independent — SURVEY.md §2.4 DP row)
-    and record the aggregate instances/s. Skipped when the deadline can't
-    fit it."""
+    and record the aggregate instances/s.
+
+    The warmup + timed proves from bench_prove are REAL verified proofs of
+    the same instances, so they count toward the target (done_proves /
+    done_wall_s — round-3's stage was skipped because it ignored them and
+    couldn't fit 14 fresh proves in the deadline)."""
     from zkodst_tpu import api
 
     target = int(os.environ.get("ZKODST_BENCH_SCALE_INSTANCES", "512"))
     if target <= 0:
         return None
-    n_proofs = -(-target // pipe.n_inst)
+    n_proofs = max(0, -(-target // pipe.n_inst) - done_proves)
     if _remaining() < 1.3 * n_proofs * best_prove_s + 30:
         return {"skipped": f"deadline ({n_proofs} proves needed)"}
     h, m, t, f = api.eip152_inputs(pipe.n_inst)
     t0 = time.perf_counter()
-    proofs = []
+    inst = None
     for i in range(n_proofs):
         proof, inst = pipe.prove(h, m, t, f, seed=100 + i)
-        proofs.append(proof)
     wall = time.perf_counter() - t0
-    assert pipe.verify(inst, proofs[-1]), "DP-scale proof failed verify"
-    total = n_proofs * pipe.n_inst
+    if inst is not None:
+        assert pipe.verify(inst, proof), "DP-scale proof failed verify"
+    total = (n_proofs + done_proves) * pipe.n_inst
     return {
-        "proofs": n_proofs,
+        "proofs": n_proofs + done_proves,
         "instances_total": total,
-        "wall_s": round(wall, 1),
-        "instances_per_s": round(total / wall, 3),
+        "wall_s": round(wall + done_wall_s, 1),
+        "instances_per_s": round(total / (wall + done_wall_s), 3),
     }
 
 
 def main() -> None:
     mode = os.environ.get("ZKODST_BENCH", "auto")
+    backend = _setup_cache()
     # stage 1: the cheap metric — guarantees the driver a parsable tail
     # line even if a later stage is killed mid-compile
     wit = bench_witness()
@@ -241,30 +263,40 @@ def main() -> None:
     if mode == "witness":
         return
     try:
-        import jax
-
-        if jax.default_backend() not in ("tpu", "axon"):
+        if backend not in ("tpu", "axon") and mode != "prove":
             return
         result, first_proof, pipe, (h, m, t, f) = bench_prove()
-        # stage 2: the headline metric, complete and parseable on its own
-        print(json.dumps(result), flush=True)
-        # stage 3: golden pin + flagship circuit gate + DP scale. Each
-        # runs AFTER the stage-2 print so a failure/timeout here can
-        # never erase the headline metric the driver parses.
+    except Exception as e:  # noqa: BLE001 — the witness line stands
+        # swallow-and-comment is reserved for the prove pipeline being
+        # UNAVAILABLE (no TPU, missing caches, relay down); once stage 2
+        # has printed, failures below are loud (ADVICE r3)
+        if mode == "prove":
+            raise
+        print(f"# prove bench unavailable ({type(e).__name__}: {e}); "
+              "the witness metric line above stands", flush=True)
+        return
+    # stage 2: the headline metric, complete and parseable on its own
+    print(json.dumps(result), flush=True)
+    # stage 3: golden pin + flagship circuit gate + DP scale. Each runs
+    # AFTER the stage-2 print so a failure here can never erase the
+    # headline metric line — but it MUST still fail the run loudly
+    # (a proof-byte drift or circuit regression may not ship silently).
+    try:
         result["diag"]["flagship_golden"] = _check_flagship_golden(
             first_proof, pipe.n_inst)
         if _remaining() > 60:
             result["diag"]["mock_check_s"] = _flagship_circuit_check(
                 pipe, h, m, t, f)
-        dp = _dp_scale(pipe, min(result["diag"]["timed_proves_s"]))
+        times = result["diag"]["timed_proves_s"]
+        dp = _dp_scale(pipe, min(times), done_proves=len(times),
+                       done_wall_s=sum(times))
         if dp is not None:
             result["diag"]["dp_scale"] = dp
+    except Exception as e:  # noqa: BLE001
+        result["diag"]["stage3_failure"] = f"{type(e).__name__}: {e}"
         print(json.dumps(result), flush=True)
-    except Exception as e:  # noqa: BLE001 — the witness line stands
-        if mode == "prove":
-            raise
-        print(f"# prove bench unavailable ({type(e).__name__}: {e}); "
-              "the witness metric line above stands", flush=True)
+        sys.exit(1)
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

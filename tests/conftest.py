@@ -34,20 +34,47 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
 
-# This host has a single CPU core; XLA compiles of the big (k=17) graphs
-# take tens of minutes there. Tests marked `slow` are skipped by default
-# and run on the TPU backend via scripts/ (set RUN_SLOW=1 to include them).
+# This host has a single CPU core; XLA compiles of the big field/EC graphs
+# take minutes-to-hours there. The suite is therefore TIERED (VERDICT r3
+# ask #7):
+#
+#   tier 1 (default, `pytest tests/ -q`): pure-host logic + small-graph
+#     device tests — must finish green on a COLD 1-core host in < 15 min
+#     (measured times in docs/TESTING.md).
+#   tier 2 (`RUN_HEAVY=1`): the compile-heavy CPU tests (prove/verify
+#     pipelines, MSM/NTT/pallas emulation) — green, but cold compiles
+#     take tens of minutes to hours; runs warm off the committed
+#     .jax_cache on the builder host.
+#   slow  (`RUN_SLOW=1`): k=17-scale content, TPU-run via scripts/.
+#
+# Tier-2 membership is by MODULE (pytestmark in the file or the list
+# below), measured cold on this host — see docs/TESTING.md.
+
+HEAVY_MODULES = {
+    "test_msm", "test_ntt", "test_kzg_shplonk", "test_prove_verify",
+    "test_sharded_prover", "test_parallel", "test_ipa", "test_ipa_pasta",
+    "test_ipa_pipeline", "test_golden_proof", "test_instance_absorb",
+    "test_curve", "test_blake2",
+}
 
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: heavy-compile test (TPU-run)")
+    config.addinivalue_line(
+        "markers", "heavy: compile-heavy CPU test (tier 2, RUN_HEAVY=1)")
 
 
 def pytest_collection_modifyitems(config, items):
-    if os.environ.get("RUN_SLOW"):
-        return
-    skip = pytest.mark.skip(reason="slow (set RUN_SLOW=1); covered by "
-                                   "scripts/ on the TPU backend")
+    run_slow = os.environ.get("RUN_SLOW")
+    run_heavy = os.environ.get("RUN_HEAVY")
+    skip_slow = pytest.mark.skip(reason="slow (set RUN_SLOW=1); covered by "
+                                        "scripts/ on the TPU backend")
+    skip_heavy = pytest.mark.skip(reason="tier 2 (set RUN_HEAVY=1): "
+                                         "compile-heavy on a 1-core host")
     for item in items:
-        if "slow" in item.keywords:
-            item.add_marker(skip)
+        if not run_slow and "slow" in item.keywords:
+            item.add_marker(skip_slow)
+        elif not run_heavy and (
+                "heavy" in item.keywords
+                or item.module.__name__ in HEAVY_MODULES):
+            item.add_marker(skip_heavy)

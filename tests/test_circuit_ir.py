@@ -100,3 +100,30 @@ def test_large_constant_arithmetic():
                     lambda n, r: f)
     assert not np.asarray(val[0]).any()   # row 0: x - (2^64-1) == 0
     assert np.asarray(val[1]).any()       # row 1: 0 - (2^64-1) != 0
+
+
+def test_lookup_table_must_be_functional():
+    """Multi-column lookup tables must map key -> unique row: the prover's
+    permutation build sorts by the key column only (VERDICT r3 weak #7 —
+    an independent second column would make honest proofs fail; reject it
+    loudly at validate() instead)."""
+    import pytest
+
+    sel = np.zeros((N, 2), np.uint32)
+    fixed = {
+        "q": sel,
+        "td": _u64col([0, 1, 1, 2]),       # key 1 appears twice...
+        "ts": _u64col([0, 5, 6, 7]),       # ...with two different values
+    }
+    circ = CircuitDef(
+        k=K, advice_names=["a", "b"], instance_names=[], fixed=fixed,
+        lookups=[Lookup("bad", ["a", "b"], ["td", "ts"])],
+    )
+    with pytest.raises(AssertionError, match="not a function"):
+        circ.validate()
+    # the functional version passes
+    fixed["ts"] = _u64col([0, 5, 5, 7])
+    CircuitDef(
+        k=K, advice_names=["a", "b"], instance_names=[], fixed=fixed,
+        lookups=[Lookup("ok", ["a", "b"], ["td", "ts"])],
+    ).validate()

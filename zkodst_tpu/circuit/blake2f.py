@@ -682,7 +682,8 @@ class Blake2fCircuit:
                 Lookup("l8", ["d8", "s8"], ["t8d", "t8s"]),
                 Lookup("l15", ["d15", "s15"], ["t15d", "t15s"]),
             ],
-            copies=copies)
+            copies=copies,
+            instance_len={"pub": R_PUB * n_inst})
         self.circ.validate()
 
         # --- witness scatter plan -------------------------------------------

@@ -197,7 +197,7 @@ def keygen(params, circ: CircuitDef, msm_window: int = 13,
         cache_path = os.path.join(
             cache_dir, f"pk_{tag}{_circuit_fingerprint(circ)}.npz")
         if os.path.exists(cache_path):
-            cached = np.load(cache_path, allow_pickle=True)
+            cached = np.load(cache_path, allow_pickle=False)
 
     fixed_names = sorted(circ.fixed)
     fixed_evals, fixed_coeffs = {}, {}
@@ -221,12 +221,19 @@ def keygen(params, circ: CircuitDef, msm_window: int = 13,
         sigma_coeffs.append(dom.intt(ev))
 
     if cached is not None:
-        def dec(pt):
-            return (int(pt[0]), int(pt[1])) if int(pt[2]) else None
+        from .srs import _u32_to_ints
 
-        fixed_comm = {n: dec(pt)
-                      for n, pt in zip(fixed_names, cached["fixed_comm"])}
-        sigma_comm = [dec(pt) for pt in cached["sigma_comm"]]
+        def dec(pt_u32, flag):
+            if not int(flag):
+                return None
+            return (_u32_to_ints(pt_u32[0]), _u32_to_ints(pt_u32[1]))
+
+        fixed_comm = {
+            n: dec(pt, fl) for n, pt, fl in zip(
+                fixed_names, cached["fixed_comm_u32"],
+                cached["fixed_comm_flag"])}
+        sigma_comm = [dec(pt, fl) for pt, fl in zip(
+            cached["sigma_comm_u32"], cached["sigma_comm_flag"])]
         ext_selectors = {k: cached[f"sel_{k}"]
                          for k in ("l0", "llast", "lblind", "zh_inv")}
     else:
@@ -240,21 +247,25 @@ def keygen(params, circ: CircuitDef, msm_window: int = 13,
         sigma_comm = list(sigma_pts)
         ext_selectors = dom.selectors_extended()
         if cache_path is not None:
+            from .srs import _ints_to_u32
+
             def enc(pt):
-                return (np.array([pt[0], pt[1], 1], dtype=object)
-                        if pt is not None
-                        else np.array([0, 0, 0], dtype=object))
+                return _ints_to_u32(pt if pt is not None else (0, 0))
 
             np.savez_compressed(
                 cache_path,
-                fixed_comm=np.stack([enc(fixed_comm[n])
-                                     for n in fixed_names]),
-                sigma_comm=np.stack([enc(p) for p in sigma_comm]),
+                fixed_comm_u32=np.stack([enc(fixed_comm[n])
+                                         for n in fixed_names]),
+                fixed_comm_flag=np.asarray(
+                    [fixed_comm[n] is not None for n in fixed_names],
+                    np.uint8),
+                sigma_comm_u32=np.stack([enc(p) for p in sigma_comm]),
+                sigma_comm_flag=np.asarray(
+                    [p is not None for p in sigma_comm], np.uint8),
                 sig_col=np.stack([m[0] for m in sigma_maps]),
                 sig_row=np.stack([m[1] for m in sigma_maps]),
                 **{f"sel_{k}": np.asarray(v)
-                   for k, v in ext_selectors.items()},
-                allow_pickle=True)
+                   for k, v in ext_selectors.items()})
 
     vk = VerifyingKey(k=circ.k, fixed_commitments=fixed_comm,
                       sigma_commitments=sigma_comm, perm_cols=perm_cols,

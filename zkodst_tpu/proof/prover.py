@@ -342,6 +342,43 @@ def _z_passes_sharded(mesh, axis):
 # query schedule (canonical, shared with the verifier)
 # ---------------------------------------------------------------------------
 
+def absorb_instances(tw, circ: CircuitDef, instance_u64) -> None:
+    """Bind the public inputs into the transcript (prover & verifier run
+    the identical sequence).
+
+    ``halo2ce`` mode: absorb every provided instance VALUE as a common
+    scalar, column by column — halo2-ce's KZG path (QUERY_INSTANCE=false)
+    hashes each element of `instances: &[&[F]]` into the transcript before
+    the advice commitments (its plonk prover/verifier both do; the
+    reference's bench passes instances into `create_proof` at
+    blake2f_circuit_bench.rs:64-81). The provided vector is the circuit's
+    declared `instance_len` prefix; padding rows past it are not public
+    inputs. Byte parity is untestable here (no Rust toolchain) but this
+    closes docs/FORMAT.md divergence 3 structurally.
+
+    ``v1`` (pinned native format): one blake2b digest over the full
+    columns, absorbed as a single scalar — cheaper for wide instance
+    columns and equally binding."""
+    import hashlib
+
+    if getattr(tw, "mode", "v1") == "halo2ce":
+        from ..ops import u64 as u64mod
+
+        for name in circ.instance_names:
+            ln = circ.instance_len.get(name)
+            assert ln is not None, (
+                f"halo2ce mode needs CircuitDef.instance_len[{name!r}] "
+                "(the public-input vector length)")
+            vals = np.asarray(instance_u64[name], np.uint32)[:ln]
+            for r in range(ln):
+                tw.common_scalar(int(u64mod.to_int(vals[r])))
+        return
+    hsh = hashlib.blake2b(digest_size=64)
+    for name in circ.instance_names:
+        hsh.update(np.asarray(instance_u64[name], np.uint32).tobytes())
+    tw.common_scalar(int.from_bytes(hsh.digest(), "little") % PFR.p)
+
+
 def query_schedule(vk) -> List[Tuple[str, Tuple[int, ...]]]:
     """[(poly name, rotations)] in canonical order."""
     circ: CircuitDef = vk.circ
@@ -530,13 +567,8 @@ def create_proof(params, pk: ProvingKey,
         return ev.at[n - BLINDING_ROWS:].set(jnp.asarray(blinds))
     tw = Blake2bWrite(mode=transcript_mode)
     vk.hash_into(tw)
-
-    # absorb the instance columns (verifier recomputes the same bytes)
-    import hashlib
-    hsh = hashlib.blake2b(digest_size=64)
-    for name in circ.instance_names:
-        hsh.update(np.asarray(instance_u64[name], np.uint32).tobytes())
-    tw.common_scalar(int.from_bytes(hsh.digest(), "little") % PFR.p)
+    # absorb the public inputs (verifier recomputes the same bytes)
+    absorb_instances(tw, circ, instance_u64)
 
     # --- field forms; blind the advice tail with full-width randoms --------
     evals: Dict[str, jnp.ndarray] = {}

@@ -280,19 +280,39 @@ def to_affine(point) -> Optional[Tuple[int, int]]:
 # benches/blake2f.rs:83-97 sha256_params file)
 # ---------------------------------------------------------------------------
 
+def _ints_to_u32(vals, nlimbs: int = 8) -> np.ndarray:
+    """Nested int tuples -> uint32 limb array, last axis = nlimbs (LE).
+
+    Plain-array persistence: committed .npz caches must never need
+    allow_pickle (a deserialization trust surface — ADVICE r3)."""
+    arr = np.asarray(vals, dtype=object)
+    out = np.zeros(arr.shape + (nlimbs,), np.uint32)
+    for idx in np.ndindex(arr.shape):
+        v = int(arr[idx])
+        for j in range(nlimbs):
+            out[idx + (j,)] = (v >> (32 * j)) & 0xFFFFFFFF
+    return out
+
+
+def _u32_to_ints(arr: np.ndarray):
+    """Inverse of _ints_to_u32 (returns nested tuples of ints)."""
+    if arr.ndim == 1:
+        return sum(int(x) << (32 * j) for j, x in enumerate(arr))
+    return tuple(_u32_to_ints(a) for a in arr)
+
+
 def save(params: ParamsKZG, path: str) -> None:
     np.savez_compressed(
         path, k=params.k, g1=params.g1, g1_lagrange=params.g1_lagrange,
-        g2=np.array(params.g2, dtype=object),
-        s_g2=np.array(params.s_g2, dtype=object), allow_pickle=True)
+        g2_u32=_ints_to_u32(params.g2), s_g2_u32=_ints_to_u32(params.s_g2))
 
 
 def load(path: str) -> ParamsKZG:
-    z = np.load(path, allow_pickle=True)
-    g2 = tuple(tuple(int(c) for c in co) for co in z["g2"])
-    s_g2 = tuple(tuple(int(c) for c in co) for co in z["s_g2"])
+    z = np.load(path, allow_pickle=False)
     return ParamsKZG(k=int(z["k"]), g1=z["g1"],
-                     g1_lagrange=z["g1_lagrange"], g2=g2, s_g2=s_g2)
+                     g1_lagrange=z["g1_lagrange"],
+                     g2=_u32_to_ints(z["g2_u32"]),
+                     s_g2=_u32_to_ints(z["s_g2_u32"]))
 
 
 def get_or_create(k: int, cache_dir: str = ".zkodst_cache",

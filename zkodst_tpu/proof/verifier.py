@@ -92,17 +92,14 @@ def verify_proof(params, vk: VerifyingKey,
     transcript_mode: "v1" (the pinned native wire format) or "halo2ce"
     (the compatibility flavor, docs/FORMAT.md §compat) — must match the
     prover's."""
-    import hashlib
+    from .prover import absorb_instances
 
     circ = vk.circ
     dom = Domain(circ.k)
     n, u = dom.n, circ.usable_rows
     tr = Blake2bRead(proof, mode=transcript_mode)
     vk.hash_into(tr)
-    hsh = hashlib.blake2b(digest_size=64)
-    for name in circ.instance_names:
-        hsh.update(np.asarray(instance_u64[name], np.uint32).tobytes())
-    tr.common_scalar(int.from_bytes(hsh.digest(), "little") % PFR.p)
+    absorb_instances(tr, circ, instance_u64)
 
     try:
         coms: Dict[str, tuple] = {}
