@@ -17,11 +17,12 @@ import time
 sys.path.insert(0, ".")
 sys.path.insert(0, "tests")
 
+import __graft_entry__ as _ge  # noqa: E402
+
+_ge._enable_compile_cache()    # persist EVERY compile (axon: sub-second
+                               # eager compiles are ~0.45 s relay RTTs)
+
 import jax  # noqa: E402
-
-jax.config.update("jax_compilation_cache_dir", ".jax_cache_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 import numpy as np  # noqa: E402
 
 

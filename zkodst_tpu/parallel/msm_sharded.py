@@ -72,20 +72,28 @@ def msm_sharded(points, scalar_limbs, mesh: Mesh, axis: str = "dp",
 
 
 def msm_many_sharded(points, scalars_batch, mesh: Mesh, axis="dp",
-                     c: int = 8):
+                     c: int = 8, small: bool = False):
     """B MSMs over the SAME sharded point set: the multi-chip commit phase.
 
     points: (N, 3, 16); scalars_batch: (B, N, 16) normal-form limbs, both
     sharded on the point axis. Each device runs the batched Pippenger
     (ops/msm.py) on its shard; the B partial points are all_gather-ed and
-    tree-added (D·B tiny points over ICI). Returns (B, 3, 16) replicated."""
+    tree-added (D·B tiny points over ICI). Returns (B, 3, 16) replicated.
+
+    small=True swaps the per-shard Pippenger for msm.msm_small (batched
+    double-and-add): identical group results, a ~100× smaller SPMD graph —
+    the small-domain dry-run/test regime where XLA:CPU compile time of
+    the sharded Pippenger (~535 s/process) was the stage-2 killer."""
     from .bootstrap import axis_size
 
     ndev = axis_size(mesh, axis)
     assert points.shape[0] % ndev == 0
 
     def local(pts, scs):
-        part = jax.vmap(lambda s: msm.msm(pts, s, c))(scs)   # (B, 3, 16)
+        if small:
+            part = msm.msm_small_many(pts, scs)              # (B, 3, 16)
+        else:
+            part = jax.vmap(lambda s: msm.msm(pts, s, c))(scs)
         parts = jax.lax.all_gather(part, axis)               # (D, B, 3, 16)
         while parts.shape[0] > 1:
             m = parts.shape[0]
@@ -99,7 +107,7 @@ def msm_many_sharded(points, scalars_batch, mesh: Mesh, axis="dp",
         return parts[0]
 
     fn = _cached_fn(
-        (mesh, axis, ndev, c, "many"),
+        (mesh, axis, ndev, c, small, "many"),
         lambda: jax.jit(shard_map(local, mesh=mesh,
                                   in_specs=(P(axis), P(None, axis)),
                                   out_specs=P(), check_vma=False)))
@@ -107,10 +115,10 @@ def msm_many_sharded(points, scalars_batch, mesh: Mesh, axis="dp",
 
 
 def msm_many_sharded_mont(points, mont_batch, mesh: Mesh, axis="dp",
-                          c: int = 8):
+                          c: int = 8, small: bool = False):
     from ..ops.field import FR
     import jax.numpy as jnp
 
     one_raw = jnp.zeros_like(mont_batch).at[..., 0].set(1)
     return msm_many_sharded(points, FR.mul(mont_batch, one_raw), mesh, axis,
-                            c)
+                            c, small=small)

@@ -80,18 +80,39 @@ class Domain:
     # -- device transforms (columns are (..., n, 16) Montgomery limbs) -------
     # `mesh`: route through the 4-step distributed NTT (one all-to-all over
     # `mesh_axis`; parallel/ntt_sharded.py) — the BASELINE.md config-5 path.
+    # At small domains the mesh path pads every stack to the common PAD_B
+    # batch (utils/compilebudget.py): the sharded transforms otherwise
+    # compile one SPMD graph per distinct stack size, which is what blew
+    # the dry-run stage-2 budget on the 1-core CPU hosts (VERDICT r3 #2).
+    @staticmethod
+    def _unified(batch, fn):
+        from ..utils import compilebudget as cb
+
+        one = batch.ndim == 2
+        if one:
+            batch = batch[None]
+        out = cb.chunked_call(batch, fn) if cb.unify(batch.shape[-2]) \
+            else fn(batch)
+        return out[0] if one else out
+
     def ntt(self, coeffs, mesh=None, mesh_axis: str = "x"):
         if mesh is not None:
             from ..parallel.ntt_sharded import ntt_sharded_nat
 
-            return ntt_sharded_nat(FR, coeffs, self.omega, mesh, mesh_axis)
+            return self._unified(
+                coeffs,
+                lambda c: ntt_sharded_nat(FR, c, self.omega, mesh,
+                                          mesh_axis))
         return nttmod.ntt(FR, coeffs, self.omega)
 
     def intt(self, evals, mesh=None, mesh_axis: str = "x"):
         if mesh is not None:
             from ..parallel.ntt_sharded import intt_sharded_nat
 
-            return intt_sharded_nat(FR, evals, self.omega, mesh, mesh_axis)
+            return self._unified(
+                evals,
+                lambda e: intt_sharded_nat(FR, e, self.omega, mesh,
+                                           mesh_axis))
         return nttmod.intt(FR, evals, self.omega)
 
     def coeff_to_extended(self, coeffs, mesh=None, mesh_axis: str = "x"):
@@ -103,8 +124,10 @@ class Domain:
             from ..parallel.ntt_sharded import ntt_sharded_nat
 
             scaled = nttmod.coset_scale(FR, wide, self.zeta)
-            return ntt_sharded_nat(FR, scaled, self.ext_omega, mesh,
-                                   mesh_axis)
+            return self._unified(
+                scaled,
+                lambda s: ntt_sharded_nat(FR, s, self.ext_omega, mesh,
+                                          mesh_axis))
         return nttmod.coset_ntt(FR, wide, self.ext_omega, self.zeta)
 
     def extended_to_coeff(self, evals, mesh=None, mesh_axis: str = "x"):
@@ -112,8 +135,10 @@ class Domain:
         if mesh is not None:
             from ..parallel.ntt_sharded import intt_sharded_nat
 
-            out = intt_sharded_nat(FR, evals, self.ext_omega, mesh,
-                                   mesh_axis)
+            out = self._unified(
+                evals,
+                lambda e: intt_sharded_nat(FR, e, self.ext_omega, mesh,
+                                           mesh_axis))
             return nttmod.coset_scale(FR, out, self.zeta, inverse=True)
         return nttmod.coset_intt(FR, evals, self.ext_omega, self.zeta)
 

@@ -89,10 +89,17 @@ def _cfg(params) -> "_CurveCfg":
 def _msm_mont_cfg(cfg: "_CurveCfg", points_dev, mont_scalars):
     """⟨scalars, points⟩ with Montgomery-form scalars, per curve.
 
-    BN254 rides the Pippenger + Pallas kernels (ops/msm.py); other curves
-    use the generic batched double-and-add + pairwise fold — fine at the
-    toy sizes the non-default curves run at."""
+    BN254 rides the Pippenger + Pallas kernels (ops/msm.py) at large n
+    and the small-graph double-and-add (msm.msm_small) below the
+    compile-budget threshold; other curves use the generic batched
+    double-and-add + pairwise fold — fine at the toy sizes the
+    non-default curves run at."""
     if cfg.name == "bn254":
+        from ..utils import compilebudget as cb
+
+        if cb.unify(mont_scalars.shape[0]):
+            return msm.msm_small_many_mont(points_dev,
+                                           mont_scalars[None])[0]
         return msm.msm_mont(points_dev, mont_scalars)
     one_raw = jnp.zeros_like(mont_scalars).at[..., 0].set(1)
     normal = cfg.SF.mul(mont_scalars, one_raw)
@@ -442,9 +449,8 @@ def verify_claims(params: ParamsIPA, claims: Sequence[IPAClaim], tr,
         if cb.unify(n):
             accs = cb.chunked_call(
                 jnp.asarray(svs),
-                lambda x_: msm.msm_many_mont(
-                    jnp.asarray(params.g[:n]), x_,
-                    min(13, max(8, n.bit_length() - 1))))
+                lambda x_: msm.msm_small_many_mont(
+                    jnp.asarray(params.g[:n]), x_))
         else:
             accs = msm.msm_many_mont(jnp.asarray(params.g[:n]),
                                      jnp.asarray(svs), 13)

@@ -56,10 +56,9 @@ def commit_evals_many(params, dom: Domain, evals_batch, c: int,
 
         cfs = dom.intt(evals_batch)
         if cb.unify(dom.n):
-            cc = min(c, max(8, dom.n.bit_length() - 1))
             accs = cb.chunked_call(
-                cfs, lambda x: msm.msm_many_mont(jnp.asarray(params.g),
-                                                 x, cc))
+                cfs, lambda x: msm.msm_small_many_mont(
+                    jnp.asarray(params.g), x))
         else:
             accs = msm.msm_many_mont(jnp.asarray(params.g), cfs, c)
         return curve.to_affine_ints(np.asarray(accs))
@@ -78,11 +77,10 @@ def commit_coeff_many(params, coeffs_batch, c: int, mesh=None,
 
         m = coeffs_batch.shape[1]
         if cb.unify(m):
-            cc = min(c, max(8, m.bit_length() - 1))
             accs = cb.chunked_call(
                 coeffs_batch,
-                lambda x: msm.msm_many_mont(jnp.asarray(params.g[:m]),
-                                            x, cc))
+                lambda x: msm.msm_small_many_mont(jnp.asarray(params.g[:m]),
+                                                  x))
         else:
             accs = msm.msm_many_mont(jnp.asarray(params.g[:m]),
                                      coeffs_batch, c)

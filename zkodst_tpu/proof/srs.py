@@ -154,8 +154,7 @@ def commit_lagrange(params: ParamsKZG, evals_mont, c: int = 13):
 
     if cb.unify(evals_mont.shape[0]):
         padded, _ = cb.pad_batch(evals_mont[None])     # reuse the batched graph
-        cc = min(c, max(8, evals_mont.shape[0].bit_length() - 1))
-        return msm.msm_many_mont(params.g1_lagrange, padded, cc)[0]
+        return msm.msm_small_many_mont(params.g1_lagrange, padded)[0]
     return _msm_chunked(params.g1_lagrange, evals_mont, c)
 
 
@@ -187,21 +186,20 @@ def commit_lagrange_many(params: ParamsKZG, evals_batch, c: int = 13,
             accs = cb.chunked_call(
                 evals_batch,
                 lambda eb: msm_many_sharded_mont(params.g1_lagrange, eb,
-                                                 mesh, mesh_axis, c))
+                                                 mesh, mesh_axis, c,
+                                                 small=True))
         else:
             accs = msm_many_sharded_mont(params.g1_lagrange, evals_batch,
                                          mesh, mesh_axis, c)
         return curve.to_affine_ints(np.asarray(accs))
     n = evals_batch.shape[1]
     if cb.unify(n):
-        # small domains: one padded full-width MSM graph for every commit
-        # phase (the body/tail split would add two more graphs for nothing);
-        # the window width is normalized so every caller's `c` lands on the
-        # same static-argument jit key
-        cc = min(c, max(8, n.bit_length() - 1))
+        # small domains: ONE padded double-and-add MSM graph for every
+        # commit phase (msm_small — the Pippenger graph costs minutes of
+        # XLA:CPU compile; throughput is irrelevant at these sizes)
         accs = cb.chunked_call(
             evals_batch,
-            lambda eb: msm.msm_many_mont(params.g1_lagrange, eb, cc))
+            lambda eb: msm.msm_small_many_mont(params.g1_lagrange, eb))
         return curve.to_affine_ints(np.asarray(accs))
     if body_bits is not None:
         body = evals_batch
@@ -233,8 +231,7 @@ def commit_coeff(params: ParamsKZG, coeffs_mont, c: int = 13):
     m = coeffs_mont.shape[0]
     if cb.unify(m):
         padded, _ = cb.pad_batch(coeffs_mont[None])
-        cc = min(c, max(8, m.bit_length() - 1))
-        return msm.msm_many_mont(params.g1[:m], padded, cc)[0]
+        return msm.msm_small_many_mont(params.g1[:m], padded)[0]
     return _msm_chunked(params.g1[:m], coeffs_mont, c)
 
 
@@ -251,16 +248,16 @@ def commit_coeff_many(params: ParamsKZG, coeffs_batch, c: int = 13,
             accs = cb.chunked_call(
                 coeffs_batch,
                 lambda cbt: msm_many_sharded_mont(params.g1[:m], cbt,
-                                                  mesh, mesh_axis, c))
+                                                  mesh, mesh_axis, c,
+                                                  small=True))
         else:
             accs = msm_many_sharded_mont(params.g1[:m], coeffs_batch,
                                          mesh, mesh_axis, c)
         return curve.to_affine_ints(np.asarray(accs))
     if cb.unify(m):
-        cc = min(c, max(8, m.bit_length() - 1))
         accs = cb.chunked_call(
             coeffs_batch,
-            lambda cbt: msm.msm_many_mont(params.g1[:m], cbt, cc))
+            lambda cbt: msm.msm_small_many_mont(params.g1[:m], cbt))
         return curve.to_affine_ints(np.asarray(accs))
     accs = None
     for i in range(0, m, MSM_CHUNK):
