@@ -54,7 +54,7 @@ HEAVY_MODULES = {
     "test_msm", "test_ntt", "test_kzg_shplonk", "test_prove_verify",
     "test_sharded_prover", "test_parallel", "test_ipa", "test_ipa_pasta",
     "test_ipa_pipeline", "test_golden_proof", "test_instance_absorb",
-    "test_curve", "test_blake2",
+    "test_curve", "test_transcript_compat",
 }
 
 
