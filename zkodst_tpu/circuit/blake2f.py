@@ -713,7 +713,11 @@ class Blake2fCircuit:
         if not hasattr(self, "_jit_witness"):
             self._jit_witness = jax.jit(self._witness_impl)
         h, m, t = (jnp.asarray(x, jnp.uint32) for x in (h, m, t))
-        return self._jit_witness(h, m, t, jnp.asarray(f))
+        from ..utils import aot
+
+        key = (f"witness_k{self.k}_i{self.n_inst}_r{self.rounds}"
+               f"_c{self.ncells}")
+        return aot.call(key, self._jit_witness, h, m, t, jnp.asarray(f))
 
     def _witness_impl(self, h, m, t, f):
         B, n, R = self.n_inst, 1 << self.k, self.rows_per_inst

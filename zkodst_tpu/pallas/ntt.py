@@ -191,10 +191,20 @@ def _ntt_limb_major(F: Field, xt, n: int, rev, tail_tw, *head_tws):
 
 def ntt_pallas(F: Field, a, w: int):
     """Forward NTT along axis -2 of (..., n, 16) tensors (natural order
-    in and out) — drop-in for ops.ntt.ntt's device path."""
+    in and out) — drop-in for ops.ntt.ntt's device path.
+
+    Dispatches through a jax.export artifact when present (utils/aot.py):
+    the limb-major graph costs ~35 s lowering + ~40 s compile-cache load
+    per (B, n) shape per process — ×8 shapes in a k=17 prove. Twiddles
+    are runtime operands, so one artifact serves every root w."""
+    from ..utils import aot
+
     shape = a.shape
     n = shape[-2]
     rev, tail_tw, heads = _plan(F, n, w)
     xt = jnp.moveaxis(a.reshape(-1, n, L), -1, 1)    # (B, 16, n)
-    out = _ntt_limb_major(F, xt, n, rev, tail_tw, *heads)
+    key = f"ntt_limb_major_{F._key}_B{xt.shape[0]}_n{n}"
+    out = aot.call(
+        key, lambda x, r, t, *h: _ntt_limb_major(F, x, n, r, t, *h),
+        xt, rev, tail_tw, *heads)
     return jnp.moveaxis(out, 1, -1).reshape(shape)

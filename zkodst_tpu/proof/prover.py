@@ -133,9 +133,13 @@ def _eval_stack_at_points(coeffs_stack, xks):
 
 def eval_many(coeffs_list, points):
     """Evaluate every poly at every point: -> [M][P] host ints."""
+    from ..utils import aot
+
     stack = jnp.stack(coeffs_list)
     xks = jnp.asarray(F.from_ints([int(pt) for pt in points]))
-    grid = np.asarray(_eval_stack_at_points(stack, xks))    # (M, P, 16)
+    key = (f"evalstack_M{stack.shape[0]}_n{stack.shape[1]}"
+           f"_P{xks.shape[0]}")
+    grid = np.asarray(aot.call(key, _eval_stack_at_points, stack, xks))
     m, p = grid.shape[:2]
     flat = F.to_ints(grid.reshape(m * p, 16))
     return [[int(flat[i * p + j]) for j in range(p)] for i in range(m)]

@@ -136,11 +136,11 @@ MSM_CHUNK = 1 << 17
 def _msm_chunked(points, scalars_mont, c: int):
     n = scalars_mont.shape[0]
     if n <= MSM_CHUNK:
-        return msm.msm_mont(points, scalars_mont, c)
+        return msm.msm_mont_aot(points, scalars_mont, c)
     acc = None
     for i in range(0, n, MSM_CHUNK):
-        part = msm.msm_mont(points[i: i + MSM_CHUNK],
-                            scalars_mont[i: i + MSM_CHUNK], c)
+        part = msm.msm_mont_aot(points[i: i + MSM_CHUNK],
+                                scalars_mont[i: i + MSM_CHUNK], c)
         acc = part if acc is None else curve.add(acc, part)
     return acc
 
@@ -207,19 +207,21 @@ def commit_lagrange_many(params: ParamsKZG, evals_batch, c: int = 13,
             body = body.at[:, n - tail_rows:].set(0)
         accs = None
         for i in range(0, n, MSM_CHUNK):
-            part = msm.msm_many_mont(params.g1_lagrange[i: i + MSM_CHUNK],
-                                     body[:, i: i + MSM_CHUNK], c,
-                                     scalar_bits=body_bits)
+            part = msm.msm_many_mont_aot(
+                params.g1_lagrange[i: i + MSM_CHUNK],
+                body[:, i: i + MSM_CHUNK], c, scalar_bits=body_bits)
             accs = part if accs is None else curve.add(accs, part)
         if tail_rows:
-            tail = msm.msm_many_mont(params.g1_lagrange[n - tail_rows:],
-                                     evals_batch[:, n - tail_rows:], c)
+            tail = msm.msm_many_mont_aot(
+                params.g1_lagrange[n - tail_rows:],
+                evals_batch[:, n - tail_rows:], c)
             accs = curve.add(accs, tail)
         return curve.to_affine_ints(np.asarray(accs))
     accs = None
     for i in range(0, n, MSM_CHUNK):
-        part = msm.msm_many_mont(params.g1_lagrange[i: i + MSM_CHUNK],
-                                 evals_batch[:, i: i + MSM_CHUNK], c)
+        part = msm.msm_many_mont_aot(
+            params.g1_lagrange[i: i + MSM_CHUNK],
+            evals_batch[:, i: i + MSM_CHUNK], c)
         accs = part if accs is None else curve.add(accs, part)
     return curve.to_affine_ints(np.asarray(accs))
 
@@ -261,8 +263,9 @@ def commit_coeff_many(params: ParamsKZG, coeffs_batch, c: int = 13,
         return curve.to_affine_ints(np.asarray(accs))
     accs = None
     for i in range(0, m, MSM_CHUNK):
-        part = msm.msm_many_mont(params.g1[i: i + MSM_CHUNK],
-                                 coeffs_batch[:, i: i + MSM_CHUNK], c)
+        part = msm.msm_many_mont_aot(
+            params.g1[i: i + MSM_CHUNK],
+            coeffs_batch[:, i: i + MSM_CHUNK], c)
         accs = part if accs is None else curve.add(accs, part)
     return curve.to_affine_ints(np.asarray(accs))
 
