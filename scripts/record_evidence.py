@@ -27,13 +27,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-import jax  # noqa: E402
+import __graft_entry__ as _ge  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(REPO, ".jax_cache_tpu"
-                               if jax.default_backend() != "cpu"
-                               else ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+_ge._enable_compile_cache()
+
+import jax  # noqa: E402
 
 from zkodst_tpu import api  # noqa: E402
 
@@ -67,20 +65,29 @@ def main() -> None:
     pipe.prove(h, m, t, f, seed=1)                      # warm-up
     print(f"kzg warmup prove {time.time() - t0:.0f}s", flush=True)
 
-    on, proof_on, inst = timed_proves(pipe, h, m, t, f, 3, seed0=2)
+    # >= 5 warm samples per arm (VERDICT r3 weak #6: n=3 on a contended
+    # host was too noisy to cite)
+    on, proof_on, inst = timed_proves(pipe, h, m, t, f, 5, seed0=2)
     assert pipe.verify(inst, proof_on)
     print(f"overlap ON : {on}", flush=True)
     os.environ["ZKODST_NO_OVERLAP"] = "1"
-    off, proof, inst = timed_proves(pipe, h, m, t, f, 3, seed0=2)
+    off, proof, inst = timed_proves(pipe, h, m, t, f, 5, seed0=2)
     assert pipe.verify(inst, proof)
     del os.environ["ZKODST_NO_OVERLAP"]
     # the overlap schedule only reorders device dispatches — same seed must
     # give byte-identical proofs in both modes
     assert proof == proof_on, "overlap schedule changed proof bytes"
     print(f"overlap OFF: {off}", flush=True)
+    import statistics
+
     out["pp_overlap_ab"] = {
         "overlap_on_s": min(on), "overlap_off_s": min(off),
         "win_pct": round(100 * (min(off) - min(on)) / min(off), 1),
+        "median_on_s": statistics.median(on),
+        "median_off_s": statistics.median(off),
+        "median_win_pct": round(100 * (statistics.median(off)
+                                       - statistics.median(on))
+                                / statistics.median(off), 1),
         "all_on": on, "all_off": off,
     }
     print(json.dumps({"metric": "pp_overlap_ab", **out["pp_overlap_ab"]}),
@@ -117,7 +124,7 @@ def main() -> None:
               flush=True)
 
     _write(out)
-    print("evidence written to docs/evidence_r3.json", flush=True)
+    print("evidence written to docs/evidence_r4.json", flush=True)
 
 
 if __name__ == "__main__":

@@ -203,7 +203,7 @@ def ntt_pallas(F: Field, a, w: int):
     n = shape[-2]
     rev, tail_tw, heads = _plan(F, n, w)
     xt = jnp.moveaxis(a.reshape(-1, n, L), -1, 1)    # (B, 16, n)
-    key = f"ntt_limb_major_{F._key}_B{xt.shape[0]}_n{n}"
+    key = f"ntt_limb_major_{F._key[0]}_B{xt.shape[0]}_n{n}"
     out = aot.call(
         key, lambda x, r, t, *h: _ntt_limb_major(F, x, n, r, t, *h),
         xt, rev, tail_tw, *heads)
