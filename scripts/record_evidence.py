@@ -47,7 +47,7 @@ def timed_proves(pipe, h, m, t, f, n, seed0):
 
 
 def _write(out: dict) -> None:
-    with open(os.path.join(REPO, "docs", "evidence_r3.json"), "w") as fh:
+    with open(os.path.join(REPO, "docs", "evidence_r4.json"), "w") as fh:
         json.dump(out, fh, indent=1)
 
 
@@ -96,6 +96,13 @@ def main() -> None:
 
     # --- IPA backend at k=17 --------------------------------------------
     if "--skip-ipa" not in sys.argv:
+        # the KZG pipeline holds ~2 GB of device state (SRS bases, static
+        # extended tables); free it before the IPA setup or the two
+        # pipelines together exhaust HBM (observed RESOURCE_EXHAUSTED)
+        del pipe
+        import gc
+
+        gc.collect()
         t0 = time.time()
         ipa = api.setup_blake2f(k=17, n_inst=n_inst,
                                 cache_dir=".zkodst_cache", echo=False,

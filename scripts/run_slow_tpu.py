@@ -131,6 +131,46 @@ def main() -> int:
     assert not verifier.verify_proof(params, pk.vk, {}, bytes(badp)), \
         "tampered proof accepted"
     print("toy e2e prove/verify PASS (incl. tamper rejection)", flush=True)
+
+    if "--skip-multiblock" in sys.argv:
+        return 0
+
+    # --- flow 5: multi-block gadget → prove → verify → chain-check -------
+    # (tests/test_multiblock_e2e.py content, TPU-run; SURVEY.md §3.5 —
+    # the reference's initialize_with_state feed-forward, enforced on the
+    # PROVED public values)
+    import hashlib
+
+    from zkodst_tpu import api, gadget
+
+    msg = b"x" * 300
+    digest, calls = gadget.Blake2b.digest(msg)
+    assert digest == hashlib.blake2b(msg).digest()
+    assert len(calls) == 3
+    t0 = time.time()
+    pipe = api.setup_blake2f(k=17, n_inst=3, cache_dir=".zkodst_cache",
+                             echo=False)
+    print(f"multiblock setup+keygen: {time.time() - t0:.0f}s", flush=True)
+    hh, mm_, tt, ff = gadget.calls_to_arrays(calls, pad_to=pipe.n_inst)
+    t0 = time.time()
+    proof, inst = pipe.prove(hh, mm_, tt, ff, seed=9)
+    print(f"multiblock prove: {time.time() - t0:.0f}s "
+          f"({len(proof)} bytes)", flush=True)
+    assert pipe.verify(inst, proof), "multiblock proof failed verify"
+    proved = gadget.instance_column_calls(
+        pipe.built, np.asarray(inst["pub"]), 3)
+    assert gadget.check_chain(proved, data_len=len(msg))
+    assert gadget.chain_digest(proved) == digest
+    forged = list(proved)
+    c1 = forged[1]
+    bad_h = tuple(x ^ 1 for x in c1.h)
+    forged[1] = gadget.BlockCall(
+        h=bad_h, m=c1.m, t=c1.t, f=c1.f,
+        h_out=tuple(blake2.blake2f_py(list(bad_h), list(c1.m), c1.t,
+                                      c1.f)))
+    assert not gadget.check_chain(forged, data_len=len(msg))
+    print("multi-block chain e2e PASS (proved public values; forged "
+          "feed-forward rejected)", flush=True)
     return 0
 
 
