@@ -72,8 +72,12 @@ def pytest_collection_modifyitems(config, items):
     skip_heavy = pytest.mark.skip(reason="tier 2 (set RUN_HEAVY=1): "
                                          "compile-heavy on a 1-core host")
     for item in items:
-        if not run_slow and "slow" in item.keywords:
-            item.add_marker(skip_slow)
+        # the slow marker is evaluated independently of the tier-2 module
+        # skip: RUN_SLOW=1 includes slow tests even inside HEAVY_MODULES
+        # (ADVICE r4 — the old elif ordering silently demoted them)
+        if "slow" in item.keywords:
+            if not run_slow:
+                item.add_marker(skip_slow)
         elif not run_heavy and (
                 "heavy" in item.keywords
                 or item.module.__name__ in HEAVY_MODULES):

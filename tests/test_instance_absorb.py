@@ -93,6 +93,27 @@ def test_modes_produce_different_bytes(setup):
                                      transcript_mode="v1")
 
 
+def test_halo2ce_rejects_unbound_suffix_rows(setup):
+    """Soundness (ADVICE r4 high): rows past the declared instance_len
+    prefix are NOT absorbed into the transcript in halo2ce mode, yet the
+    verifier's evaluation covers every nonzero row of the supplied
+    column. A forger claiming a false prefix could otherwise solve for
+    one unabsorbed row value after challenges are fixed. Both sides must
+    reject such columns outright."""
+    circ, params, pk, w, inst = setup
+    proof = prover.create_proof(params, pk, w, inst, seed=8,
+                                transcript_mode="halo2ce")
+    forged = {"pub": inst["pub"].copy()}
+    forged["pub"][5] = u64.from_int(999)     # past the len-2 prefix
+    # verifier: clean rejection, not a crash
+    assert not verifier.verify_proof(params, pk.vk, forged, proof,
+                                     transcript_mode="halo2ce")
+    # prover: loud error (the caller's instance column is malformed)
+    with pytest.raises(ValueError, match="unbound"):
+        prover.create_proof(params, pk, w, forged, seed=8,
+                            transcript_mode="halo2ce")
+
+
 def test_halo2ce_requires_declared_length(setup):
     circ, params, pk, w, inst = setup
     circ2 = pub_circuit()

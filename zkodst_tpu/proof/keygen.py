@@ -197,7 +197,21 @@ def keygen(params, circ: CircuitDef, msm_window: int = 13,
         cache_path = os.path.join(
             cache_dir, f"pk_{tag}{_circuit_fingerprint(circ)}.npz")
         if os.path.exists(cache_path):
-            cached = np.load(cache_path, allow_pickle=False)
+            try:
+                cached = np.load(cache_path, allow_pickle=False)
+                _required = ["sig_col", "sig_row", "fixed_comm_u32",
+                             "fixed_comm_flag", "sigma_comm_u32",
+                             "sigma_comm_flag"]
+                missing = [k for k in _required if k not in cached]
+                if missing:
+                    raise KeyError(", ".join(missing))
+            except (KeyError, ValueError, OSError) as ex:
+                # old-format pk cache (pre npz-format change): regenerate
+                # and overwrite rather than KeyError mid-keygen (ADVICE r4)
+                print(f"# stale pk cache {cache_path} "
+                      f"({type(ex).__name__}: {ex}): regenerating",
+                      flush=True)
+                cached = None
 
     fixed_names = sorted(circ.fixed)
     fixed_evals, fixed_coeffs = {}, {}

@@ -373,7 +373,20 @@ def absorb_instances(tw, circ: CircuitDef, instance_u64) -> None:
             assert ln is not None, (
                 f"halo2ce mode needs CircuitDef.instance_len[{name!r}] "
                 "(the public-input vector length)")
-            vals = np.asarray(instance_u64[name], np.uint32)[:ln]
+            col = np.asarray(instance_u64[name], np.uint32)
+            # Soundness: only the declared prefix is Fiat–Shamir-bound in
+            # this mode, but the verifier's _instance_eval evaluates every
+            # nonzero row of the caller-supplied column. An unabsorbed
+            # nonzero row past the prefix would shift the claimed
+            # instance evaluation after challenges are fixed (ADVICE r4
+            # high) — halo2-ce has no such rows because its instance
+            # vectors are exact-length (`instances: &[&[F]]`). Reject any.
+            if col.shape[0] > ln and col[ln:].any():
+                raise ValueError(
+                    f"halo2ce mode: instance column {name!r} has nonzero "
+                    f"rows past its declared instance_len={ln} prefix; "
+                    "those rows would be unbound by the transcript")
+            vals = col[:ln]
             for r in range(ln):
                 tw.common_scalar(int(u64mod.to_int(vals[r])))
         return

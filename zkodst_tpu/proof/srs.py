@@ -321,7 +321,14 @@ def get_or_create(k: int, cache_dir: str = ".zkodst_cache",
     sfx = f"_s{seed}" if seed else ""
     path = os.path.join(cache_dir, f"srs_bn254_k{k}{sfx}.npz")
     if os.path.exists(path):
-        return load(path)
+        try:
+            return load(path)
+        except (KeyError, ValueError, OSError) as ex:
+            # pre-npz-format-change cache file (e.g. pickled g2 under the
+            # old key names): regenerate and overwrite instead of
+            # crashing on KeyError (ADVICE r4)
+            print(f"# stale SRS cache {path} ({type(ex).__name__}): "
+                  "regenerating", flush=True)
     params = setup(k, seed=seed)
     save(params, path)
     return params

@@ -99,9 +99,11 @@ def verify_proof(params, vk: VerifyingKey,
     n, u = dom.n, circ.usable_rows
     tr = Blake2bRead(proof, mode=transcript_mode)
     vk.hash_into(tr)
-    absorb_instances(tr, circ, instance_u64)
-
     try:
+        # ValueError here = instance rows past the declared prefix in
+        # halo2ce mode (unbound by Fiat–Shamir) — a clean rejection, not
+        # a crash (ADVICE r4 high).
+        absorb_instances(tr, circ, instance_u64)
         coms: Dict[str, tuple] = {}
         for name in circ.advice_names:
             coms[name] = tr.read_point()

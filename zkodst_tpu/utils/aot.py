@@ -92,14 +92,20 @@ def call(key: str, fn: Callable, *args):
                 with open(p, "rb") as fh:
                     exp = jax.export.deserialize(fh.read())
                 _CACHE[key] = exp
-            except Exception:              # version/format drift → plain
+            except Exception as ex:        # version/format drift → plain
+                # a silent fallback here degrades to the multi-minute
+                # trace+compile path invisibly (ADVICE r4) — say so once
+                print(f"# aot deserialize fallback for {key}: "
+                      f"{type(ex).__name__}: {ex}", flush=True)
                 _MISSING.add(key)
         else:
             _MISSING.add(key)
     if exp is not None:
         try:
             return exp.call(*args)
-        except Exception:                   # shape/platform drift → plain
+        except Exception as ex:             # shape/platform drift → plain
+            print(f"# aot call fallback for {key}: "
+                  f"{type(ex).__name__}: {ex}", flush=True)
             _MISSING.add(key)
             _CACHE.pop(key, None)
     out = fn(*args)
