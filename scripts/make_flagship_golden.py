@@ -29,7 +29,9 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(REPO, ".jax_cache_tpu"
                                if jax.default_backend() != "cpu"
                                else ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_hlo_source_file_canonicalization_regex", ".*/")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 from zkodst_tpu import api  # noqa: E402
 from zkodst_tpu.proof.transcript import Blake2bWrite  # noqa: E402
@@ -65,6 +67,29 @@ def main() -> None:
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"wrote {path} ({len(proof)} proof bytes)")
+
+    # halo2ce-mode fixture at the SAME flagship scale (VERDICT r4 #7 —
+    # the compat mode was pinned at toy k=5 only): same circuit/SRS/
+    # blinding, transcript_mode="halo2ce" (per-value instance absorption,
+    # halo2-ce KZG QUERY_INSTANCE=false semantics — create_proof's
+    # absorb_instances; /root/reference/benchmarking/src/
+    # blake2f_circuit_bench.rs:56-101 is the pinned target).
+    t0 = time.time()
+    proof_ce, inst = pipe.prove(h, m, t, f, seed=PROVE_SEED,
+                                transcript_mode="halo2ce")
+    print(f"halo2ce prove {time.time() - t0:.0f}s", flush=True)
+    assert pipe.verify(inst, proof_ce, transcript_mode="halo2ce"), \
+        "halo2ce flagship golden failed verification"
+    assert proof_ce != proof, "modes must domain-separate"
+    out_ce = dict(out, transcript_mode="halo2ce",
+                  proof_bytes=len(proof_ce),
+                  proof_sha256=hashlib.sha256(proof_ce).hexdigest(),
+                  proof_hex=proof_ce.hex())
+    path_ce = os.path.join(REPO, "tests", "golden",
+                           "flagship_proof_halo2ce_v1.json")
+    with open(path_ce, "w") as fh:
+        json.dump(out_ce, fh, indent=1)
+    print(f"wrote {path_ce} ({len(proof_ce)} proof bytes)")
 
 
 if __name__ == "__main__":

@@ -23,7 +23,9 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(REPO, ".jax_cache_tpu"
                                if jax.default_backend() != "cpu"
                                else ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_hlo_source_file_canonicalization_regex", ".*/")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 from zkodst_tpu import api  # noqa: E402
 

@@ -28,6 +28,8 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("ZKODST_TEST_CACHE") or
                   os.path.join(os.path.dirname(os.path.dirname(
                       os.path.abspath(__file__))), ".jax_cache"))
+# path-free cache keys (shared with bench/__graft_entry__ — must agree)
+jax.config.update("jax_hlo_source_file_canonicalization_regex", ".*/")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

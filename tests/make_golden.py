@@ -18,6 +18,7 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".jax_cache"))
+jax.config.update("jax_hlo_source_file_canonicalization_regex", ".*/")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import test_circuit_ir as toy  # noqa: E402

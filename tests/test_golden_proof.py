@@ -9,6 +9,8 @@ rounds breaks here first. On an intentional format bump: regenerate with
 import json
 import os
 
+import pytest
+
 import test_circuit_ir as toy
 from zkodst_tpu.proof import keygen, prover, srs, verifier
 from zkodst_tpu.proof.transcript import Blake2bWrite
@@ -33,3 +35,29 @@ def test_golden_proof_bytes():
         "proof bytes drifted from the golden fixture — see docs/FORMAT.md " \
         "before regenerating"
     assert verifier.verify_proof(params, pk.vk, {}, proof)
+
+
+@pytest.mark.slow
+def test_flagship_halo2ce_golden():
+    """Flagship-scale (k=17, 37 inst) halo2ce-mode pin (VERDICT r4 #7 —
+    the compat mode was previously pinned at toy k=5 only). Slow-marked:
+    the k=17 prove is TPU-scale; the driver-visible gate is bench.py's
+    halo2ce_golden diag."""
+    import hashlib
+
+    from zkodst_tpu import api
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "golden", "flagship_proof_halo2ce_v1.json")
+    if not os.path.exists(path):
+        pytest.skip("fixture not yet generated "
+                    "(scripts/make_flagship_golden.py)")
+    with open(path) as fh:
+        g = json.load(fh)
+    pipe = api.setup_blake2f(k=17, n_inst=37, cache_dir=".zkodst_cache",
+                             echo=False)
+    h, m, t, f = api.eip152_inputs(pipe.n_inst)
+    proof, inst = pipe.prove(h, m, t, f, seed=g["blind_seed"],
+                             transcript_mode="halo2ce")
+    assert hashlib.sha256(proof).hexdigest() == g["proof_sha256"]
+    assert pipe.verify(inst, proof, transcript_mode="halo2ce")

@@ -90,6 +90,36 @@ def test_chain_scan_kernel_interpret(monkeypatch):
     assert ka == ea
 
 
+@pytest.mark.slow
+def test_scale_reduce_kernel(monkeypatch):
+    """The fused Horner-replacement kernel (pallas/ec.py scale_reduce)
+    against the host oracle. REAL TPU only: the pallas interpreter leaks
+    memory without bound on this kernel's fori_loop body (observed 26 GB
+    RSS even at an 8-step config), which is why msm() gates the kernel
+    to real backends and this test skips elsewhere. Driven on TPU by
+    scripts/profile_components.py's session."""
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("scale_reduce kernel needs a real TPU backend "
+                    "(interpret mode leaks; see msm.msm)")
+    import jax.numpy as jnp
+
+    from zkodst_tpu.pallas import ec
+
+    c, nlive = 4, 3
+    ks = [5, 9, 13]
+    pts = curve.from_affine_ints([G.mul(GEN, k) for k in ks])
+    idp = np.broadcast_to(np.asarray(curve.identity()), (128 - nlive, 3, 16))
+    wsp = jnp.concatenate([jnp.asarray(pts), jnp.asarray(idp)]) \
+        .reshape(128, 48).T
+    out = ec.unpack(ec.scale_reduce(wsp, c, nlive)[:, :1], 1)[0]
+    want = None
+    for w, k in enumerate(ks):
+        want = G.add(want, G.mul(GEN, k * (1 << (c * w))))
+    assert curve.to_affine_ints(np.asarray(out)[None])[0] == want
+
+
 def test_msm_chain_path_interpret(monkeypatch):
     """The chained-sequential-scan (packed Pallas) MSM path, run in
     pallas interpret mode on CPU: N=512 forces W=256/S=2 chains, u64

@@ -31,6 +31,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="polynomial commitment scheme: kzg (BN254+SHPLONK, "
                         "the reference's benchmarking path) or ipa "
                         "(transparent setup, the zcash-halo2 path)")
+    p.add_argument("--transcript-mode", default="v1",
+                   choices=("v1", "halo2ce"),
+                   help="transcript flavor: v1 (pinned native format) or "
+                        "halo2ce (halo2-ce compatibility — per-value "
+                        "instance absorption; docs/FORMAT.md §compat)")
     p.add_argument("--quiet", action="store_true")
 
 
@@ -60,8 +65,10 @@ def cmd_prove(args) -> int:
                              mesh=mesh, mesh_axis=axis or "x",
                              scheme=cfg.commitment)
     h, m, t, f = api.eip152_inputs(pipe.n_inst)
-    proof, inst = pipe.prove(h, m, t, f, seed=cfg.seed)
-    ok = pipe.verify(inst, proof)
+    mode = getattr(args, "transcript_mode", "v1")
+    proof, inst = pipe.prove(h, m, t, f, seed=cfg.seed,
+                             transcript_mode=mode)
+    ok = pipe.verify(inst, proof, transcript_mode=mode)
     print(pipe.metrics.to_json())
     print(json.dumps({"proof_bytes": len(proof), "verified": bool(ok)}))
     return 0 if ok else 1

@@ -38,8 +38,12 @@ class Blake2fProver:
     def witness(self, h, m, t, f):
         return self.built.witness(h, m, t, f)
 
-    def prove(self, h, m, t, f, seed: int = 0) -> Tuple[bytes, dict]:
-        """h (B,8,2), m (B,16,2), t (B,2,2), f (B,) -> (proof, instance)."""
+    def prove(self, h, m, t, f, seed: int = 0,
+              transcript_mode: str = "v1") -> Tuple[bytes, dict]:
+        """h (B,8,2), m (B,16,2), t (B,2,2), f (B,) -> (proof, instance).
+
+        transcript_mode: "v1" (pinned native wire format) or "halo2ce"
+        (the halo2-ce compatibility flavor — docs/FORMAT.md §compat)."""
         with self.metrics.phase(PROVE):
             with self.metrics.phase("prove.witness"):
                 adv, inst = self.built.witness(h, m, t, f)
@@ -49,13 +53,16 @@ class Blake2fProver:
             proof = prover.create_proof(self.params, self.pk, adv, inst,
                                         seed=seed, metrics=self.metrics,
                                         mesh=self.mesh,
-                                        mesh_axis=self.mesh_axis)
+                                        mesh_axis=self.mesh_axis,
+                                        transcript_mode=transcript_mode)
         return proof, inst
 
-    def verify(self, instance: dict, proof: bytes) -> bool:
+    def verify(self, instance: dict, proof: bytes,
+               transcript_mode: str = "v1") -> bool:
         with self.metrics.phase(VERIFY):
             ok = verifier.verify_proof(self.params, self.pk.vk, instance,
-                                       proof)
+                                       proof,
+                                       transcript_mode=transcript_mode)
         return ok
 
     def mock_check(self, h, m, t, f) -> list:

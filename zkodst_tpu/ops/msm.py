@@ -233,6 +233,36 @@ def _seg_scan_chains(pt, starts, W: int):
     return local, carry
 
 
+def _seg_scan_chained_full(pt, starts, W: int):
+    """Full segmented inclusive scan in ORIGINAL order via the chained
+    sequential kernel: one EC add per element (the two-level tile scan
+    does log2(tile) = 11) plus a W-lane aggregate pass. Chain l covers
+    the contiguous natural range [l·S, (l+1)·S)."""
+    n = pt.shape[1]
+    S = n // W
+
+    def cm(a):
+        return jnp.moveaxis(
+            a.reshape(a.shape[0], W, S), 1, 2).reshape(a.shape[0], n)
+
+    def nat(a):
+        return jnp.moveaxis(
+            a.reshape(a.shape[0], S, W), 1, 2).reshape(a.shape[0], n)
+
+    sw = starts.reshape(W, S)
+    local, carry = _seg_scan_chains(cm(pt), sw.T.reshape(-1), W)
+    local_n = nat(local)
+    # natural index i = l·S + s needs the cross-chain carry iff chain l
+    # has no segment start at-or-before s
+    fs = jnp.where(jnp.any(sw, axis=1), jnp.argmax(sw, axis=1), S)  # (W,)
+    s_of = jnp.arange(n, dtype=jnp.int32) % S
+    needs = s_of < jnp.repeat(fs, S)
+    keep = jnp.logical_not(needs).astype(jnp.uint32)[None, :]
+    carry_full = jnp.repeat(carry, S, axis=1)
+    out, _ = _seg_step(local_n, carry_full, keep, jnp.zeros_like(keep))
+    return out
+
+
 def _weighted_total_packed(buckets):
     """Σ_{d>=1} d · B_d for packed (48, nb) buckets, via suffix sums
     (S_j = Σ_{d>=j} B_d; total = Σ_{j>=1} S_j) — all in packed layout, no
@@ -241,11 +271,20 @@ def _weighted_total_packed(buckets):
 
     nb = buckets.shape[1]
     first = jnp.zeros((nb,), bool).at[0].set(True)
-    suffix = _seg_scan_packed(buckets[:, ::-1], first)[:, ::-1]
+
+    def seg_scan(pt, st):
+        # chained path: 1 add/element vs 11 for the tiled Hillis–Steele
+        # (the two scans here were ~1.1 ms/window of the 2^17 MSM's
+        # ~4.9 ms/window — profile_components.py round 5)
+        if _use_kernels() and nb >= 2048 and nb % 512 == 0:
+            return _seg_scan_chained_full(pt, st, 512)
+        return _seg_scan_packed(pt, st)
+
+    suffix = seg_scan(buckets[:, ::-1], first)[:, ::-1]
     idp = np.zeros((48, 1), np.uint32)
     idp[16:32, 0] = _FQ.ONE
     tmp = jnp.concatenate([jnp.asarray(idp), suffix[:, 1:]], axis=1)
-    return _seg_scan_packed(tmp, first)[:, -1:]
+    return seg_scan(tmp, first)[:, -1:]
 
 
 def _seg_scan_packed(pt, starts):
@@ -368,19 +407,34 @@ def msm(points, scalar_limbs, c: int = 8, scalar_bits: int = SCALAR_BITS):
     logn = max(1, (N - 1).bit_length())
     W = _chain_w(N) if packed else None
 
-    def window_body(_, keys):
-        if c + logn <= 32:
-            # single-operand sort: digit in the high bits, index in the
-            # low — cheaper than the 2-operand variant and stable for free
-            packed_k = (keys << np.uint32(logn)) | jnp.arange(
-                N, dtype=jnp.uint32)
-            skp = jax.lax.sort(packed_k)
-            skeys = skp >> np.uint32(logn)
-            sidx = skp & np.uint32((1 << logn) - 1)
-        else:
-            skeys, sidx = jax.lax.sort(
+    if c + logn <= 32:
+        # single-operand sort: digit in the high bits, index in the low —
+        # cheaper than the 2-operand variant and stable for free. ALL
+        # windows sort in one batched dispatch (rows sort independently):
+        # in-scan per-window sorts measured ~1.5 ms each × nwin at 2^17
+        # (scripts/profile_components.py) vs one wide sort.
+        packed_all = (digs << np.uint32(logn)) | jnp.arange(
+            N, dtype=jnp.uint32)[None, :]
+        skp_all = jax.lax.sort(packed_all, dimension=1)   # (nwin, N)
+
+        def split(skp):
+            return (skp >> np.uint32(logn),
+                    skp & np.uint32((1 << logn) - 1))
+
+        scan_xs = skp_all
+    else:
+        def split(both):
+            return both
+
+        def _sort_one(keys):
+            return jax.lax.sort(
                 (keys, jnp.arange(keys.shape[0], dtype=jnp.uint32)),
                 num_keys=1)
+
+        scan_xs = jax.vmap(_sort_one)(digs)
+
+    def window_body(_, xs):
+        skeys, sidx = split(xs)
         starts = jnp.concatenate(
             [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]])
         if W is not None:
@@ -395,7 +449,19 @@ def msm(points, scalar_limbs, c: int = 8, scalar_bits: int = SCALAR_BITS):
         buckets = _bucket_tails(skeys, scanned, c)
         return None, _weighted_bucket_total(buckets, packed)
 
-    _, win_sums = jax.lax.scan(window_body, None, digs)   # (nwin, 3, 16)
+    _, win_sums = jax.lax.scan(window_body, None, scan_xs)  # (nwin, 3, 16)
+
+    if packed and _use_kernels():
+        # fused scale-and-reduce kernel: Σ_w 2^{c·w}·S_w in one VMEM pass
+        # (the jnp Horner below costs ~0.22 ms per EC op in graph overhead
+        # — 58.8 ms of a 157.6 ms 2^17 MSM; profile_components.py).
+        # Real-kernel backends only: in pallas INTERPRET mode the
+        # fori_loop body leaks memory without bound (observed 66 GB RSS
+        # on the FORCE_PACKED CPU test) — the jnp Horner below is the
+        # CPU path; kernel coverage is the slow-marked interpret test.
+        idp = jnp.broadcast_to(curve.identity(), (128 - nwin, 3, 16))
+        wsp = jnp.concatenate([win_sums, idp]).reshape(128, 48).T
+        return ec.unpack(ec.scale_reduce(wsp, c, nwin)[:, :1], 1)[0]
 
     # Horner over windows, MSB first: acc = 2^c * acc + S_w
     def combine(acc, s):

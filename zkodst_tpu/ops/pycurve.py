@@ -117,15 +117,74 @@ class Group:
             return None
         return (p[0], self.fneg(p[1]))
 
+    # -- Jacobian-coordinate internals for scalar multiplication ---------
+    # The affine add() above pays one field inversion (a ~250-squaring
+    # Fermat pow for Fq) PER ADDITION; a 254-bit double-and-add was
+    # ~100 ms, and the IPA prove/verify paths issue dozens of host muls
+    # (4/round in open_poly, ~40 in verify_claims_compressed). Jacobian
+    # mul defers to ONE inversion at the end (~2 ms/mul measured).
+    # Formulas: dbl-2009-l / add-2007-bl (a = 0 curves; EFD).
+
+    def _jdbl(self, pt):
+        X1, Y1, Z1 = pt
+        mul, add, sub, smul = self.fmul, self.fadd, self.fsub, self.fsmul
+        A = mul(X1, X1)
+        B = mul(Y1, Y1)
+        C = mul(B, B)
+        t = sub(sub(mul(add(X1, B), add(X1, B)), A), C)
+        D = smul(t, 2)
+        E = smul(A, 3)
+        F = mul(E, E)
+        X3 = sub(F, smul(D, 2))
+        Y3 = sub(mul(E, sub(D, X3)), smul(C, 8))
+        Z3 = smul(mul(Y1, Z1), 2)
+        return (X3, Y3, Z3)
+
+    def _jadd(self, p, q):
+        if p is None:
+            return q
+        if q is None:
+            return p
+        X1, Y1, Z1 = p
+        X2, Y2, Z2 = q
+        mul, add, sub, smul = self.fmul, self.fadd, self.fsub, self.fsmul
+        Z1Z1 = mul(Z1, Z1)
+        Z2Z2 = mul(Z2, Z2)
+        U1 = mul(X1, Z2Z2)
+        U2 = mul(X2, Z1Z1)
+        S1 = mul(mul(Y1, Z2), Z2Z2)
+        S2 = mul(mul(Y2, Z1), Z1Z1)
+        H = sub(U2, U1)
+        if H == self.fzero:
+            if S1 == S2:
+                return self._jdbl(p)
+            return None
+        I = mul(smul(H, 2), smul(H, 2))
+        J = mul(H, I)
+        r = smul(sub(S2, S1), 2)
+        V = mul(U1, I)
+        X3 = sub(sub(mul(r, r), J), smul(V, 2))
+        Y3 = sub(mul(r, sub(V, X3)), smul(mul(S1, J), 2))
+        Z3 = mul(sub(sub(mul(add(Z1, Z2), add(Z1, Z2)), Z1Z1), Z2Z2), H)
+        return (X3, Y3, Z3)
+
     def mul(self, p, k: int):
         k %= self.order
-        acc, base = None, p
+        if p is None or k == 0:
+            return None
+        acc, base = None, (p[0], p[1], self.fone)
         while k:
             if k & 1:
-                acc = self.add(acc, base)
-            base = self.add(base, base)
+                acc = self._jadd(acc, base)
+            if k != 1:
+                base = self._jdbl(base)
             k >>= 1
-        return acc
+        if acc is None or acc[2] == self.fzero:
+            return None
+        zinv = self.finv(acc[2])
+        zinv2 = self.fmul(zinv, zinv)
+        return (self.fmul(acc[0], zinv2),
+                self.fmul(acc[1], self.fmul(zinv2, zinv)))
 
 
 def _fq_smul(a, k):

@@ -268,6 +268,86 @@ def seg_scan_tiles(pt, f):
     )(pt, f)
 
 
+def _scale_reduce_kernel(c: int, nlive: int, p_ref, o_ref):
+    """Σ_w 2^{c·w} · P_w over the 128 lanes of one (48, 128) block.
+
+    Replaces the prover MSM's Horner window combine — measured 58.8 ms of
+    a 157.6 ms 2^17 MSM (scripts/profile_components.py): 266 sequential
+    single-point EC ops in the jnp graph cost ~0.22 ms each in dispatch/
+    fusion overhead. Here the same math runs as one VMEM-resident kernel:
+
+      phase 1 — progressive masked doubling: after step j, lane w holds
+        2^{min(j, c·w)} · P_w  (a lane doubles while j < c·w), so
+        c·(nlive−1) fori_loop steps scale every window at once;
+      phase 2 — pairwise lane-halving tree fold (roll + masked add),
+        7 levels, leaving the total in lane 0 (other lanes: identity).
+
+    Lanes ≥ the live window count must hold the identity point on entry
+    (identity scales and folds to identity under complete addition)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    W = p_ref.shape[1]
+    zero = jnp.zeros((W,), jnp.uint32)
+    pv = [np.uint32(v) for v in PV]
+    idy = [np.uint32(x) for x in np.asarray(FQ.ONE)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).reshape(-1)
+
+    def rows(v2d):
+        r = [v2d[i, :] for i in range(3 * L)]
+        return (r[:L], r[L:2 * L], r[2 * L:])
+
+    def assemble(xyz):
+        return jnp.concatenate(
+            [v.reshape(1, -1) for coord in xyz for v in coord], axis=0)
+
+    acc = p_ref[:, :]                                  # (48, W)
+    nsteps = c * (nlive - 1)
+
+    def body(j, acc):
+        p = rows(acc)
+        dbl = _ec_add_vecs(p, p, zero)
+        live = j < c * lane
+        out = tuple(
+            [jnp.where(live, dbl[ci][i], p[ci][i]) for i in range(L)]
+            for ci in range(3))
+        return assemble(out)
+
+    acc = jax.lax.fori_loop(0, nsteps, body, acc)
+
+    s = W // 2
+    while s >= 1:
+        p = rows(acc)
+        rolled = pltpu.roll(acc, (-s) % W, axis=1)
+        q = rows(rolled)
+        ssum = _ec_add_vecs(p, q, zero)
+        keep = lane < s
+        out = tuple(
+            [jnp.where(keep, ssum[ci][i],
+                       idy[i] if ci == 1 else np.uint32(0))
+             for i in range(L)]
+            for ci in range(3))
+        acc = assemble(out)
+        s //= 2
+    o_ref[:, :] = acc
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def scale_reduce(ws, c: int, nlive: int):
+    """ws (48, 128) packed window sums (lane w = window w, identity
+    beyond lane nlive−1) -> (48, 128) with Σ_w 2^{c·w}·ws_w in lane 0."""
+    from jax.experimental import pallas as pl
+
+    assert ws.shape == (3 * L, 128), ws.shape
+    assert 1 <= nlive <= 128
+    return pl.pallas_call(
+        partial(_scale_reduce_kernel, c, nlive),
+        out_shape=jax.ShapeDtypeStruct((3 * L, 128), jnp.uint32),
+        in_specs=[pl.BlockSpec((3 * L, 128), lambda: (0, 0))],
+        out_specs=pl.BlockSpec((3 * L, 128), lambda: (0, 0)),
+        interpret=_interpret(),
+    )(ws)
+
+
 def _grid_specs(n, rows, tile):
     from jax.experimental import pallas as pl
 

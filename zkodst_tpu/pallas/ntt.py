@@ -41,43 +41,53 @@ import numpy as np
 from ..ops.field import Field
 from .mulmod import L, _vec_add, _vec_mul, _vec_sub
 
-TILE = 2048          # tail-kernel slab (lanes); also the head-stage lane tile
+import os as _os
+
+# tail-kernel slab (lanes); also the head-stage lane tile. Bigger slabs
+# mean fewer grid programs (each with a fixed DMA/setup cost) and more
+# fused stages per program — measured on v5e round 5 (see docs/PERF.md).
+TILE = int(_os.environ.get("ZKODST_NTT_TILE", "8192"))
 
 
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
 
-def _roll_rows(rows, shift: int, width: int):
-    """Roll each (T,) limb row along lanes (shift may be negative)."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    s = shift % width
-    return [pltpu.roll(r.reshape(1, -1), s, 1).reshape(-1) for r in rows]
-
-
 def _tail_kernel(p_limbs, pinv16, stages: int, x_ref, tw_ref, o_ref):
     """All stages h = 1 … 2^(stages-1) on one (16, T) VMEM slab.
 
     tw_ref: (stages, 16, T) — row s holds w^{(n/2h)·(j mod h)} at lane j
-    (h = 2^s), i.e. the stage table pre-tiled to the slab width."""
+    (h = 2^s), i.e. the stage table pre-tiled to the slab width.
+
+    The butterfly-partner alignment is TWO whole-(16, T) lane rolls per
+    stage — the original per-limb-row formulation issued 32 separate
+    (1, T) rolls per stage (352/program), which profiling showed was most
+    of the kernel's 4× overhead over its compute floor
+    (scripts/profile_components.py round 5: tail = 50.4 of 67 ms)."""
+    from jax.experimental.pallas import tpu as pltpu
+
     T = x_ref.shape[2]
     zero = jnp.zeros((T,), jnp.uint32)
     pv = [np.uint32(v) for v in p_limbs]
     lane = jax.lax.broadcasted_iota(jnp.uint32, (1, T), 1).reshape(-1)
-    x = [x_ref[0, i, :] for i in range(L)]
+
+    def to2d(rows):
+        return jnp.concatenate([r.reshape(1, -1) for r in rows], axis=0)
+
+    x2d = x_ref[0, :, :]                             # (16, T)
     for s in range(stages):
         h = 1 << s
         tw = [tw_ref[s, i, :] for i in range(L)]
-        xv = _roll_rows(x, -h, T)                    # at u-lane j: x[j+h]
+        xv2d = pltpu.roll(x2d, (-h) % T, axis=1)     # at u-lane j: x[j+h]
+        x = [x2d[i, :] for i in range(L)]
+        xv = [xv2d[i, :] for i in range(L)]
         t = _vec_mul(xv, tw, pv, pinv16, zero)       # w·v   (at u lanes)
         plus = _vec_add(x, t, pv, zero)              # u + w·v
         minus = _vec_sub(x, t, pv, zero)             # u − w·v
-        md = _roll_rows(minus, h, T)                 # at v-lane j+h: minus[j]
+        md2d = pltpu.roll(to2d(minus), h, axis=1)    # at v-lane j+h: minus[j]
         is_u = (lane & np.uint32(h)) == 0
-        x = [jnp.where(is_u, plus[i], md[i]) for i in range(L)]
-    for i in range(L):
-        o_ref[0, i, :] = x[i]
+        x2d = jnp.where(is_u[None, :], to2d(plus), md2d)
+    o_ref[0, :, :] = x2d
 
 
 def _head_kernel(p_limbs, pinv16, x_ref, tw_ref, o_ref):
@@ -115,7 +125,7 @@ def _plan(F: Field, n: int, w: int):
     """(rev, tail_tw (sB,16,T'), [head_tw (16,h)] for h=T'…n/2)."""
     from ..ops.ntt import powers_table
 
-    key = (F._key, n, w)
+    key = (F._key, n, w, TILE)
     if key in _PLANS:
         return _PLANS[key]
     T = min(TILE, n)
@@ -146,12 +156,27 @@ def _plan(F: Field, n: int, w: int):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnums=(0, 2))
-def _ntt_limb_major(F: Field, xt, n: int, rev, tail_tw, *head_tws):
-    """DIT NTT on (B, 16, n) limb-major tensors (input natural order)."""
+def _ntt_rows(F: Field, a2, n: int, rev, tail_tw, *head_tws):
+    """DIT NTT on (B, n, 16) row-major tensors, natural order in/out.
+
+    The bit-reversal runs as a ROW gather here (contiguous 64-B rows)
+    before the limb-major transpose — the previous lane-axis gather on
+    the (B, 16, n) layout measured 13.4 ms of the 67 ms k=17 batch-8
+    transform (scripts/profile_components.py). Both layout transposes
+    live inside this jit, so eager callers pay one dispatch."""
+    a2 = jnp.take(a2, rev, axis=1)
+    xt = jnp.moveaxis(a2, -1, 1)                     # (B, 16, n)
+    out = _ntt_limb_major(F, xt, n, tail_tw, *head_tws)
+    return jnp.moveaxis(out, 1, -1)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _ntt_limb_major(F: Field, xt, n: int, tail_tw, *head_tws):
+    """DIT NTT on (B, 16, n) limb-major tensors (input in bit-reversed
+    lane order)."""
     from jax.experimental import pallas as pl
 
     B = xt.shape[0]
-    xt = jnp.take(xt, rev, axis=2)                   # bit-reverse lanes
     T = min(TILE, n)
     p_limbs = tuple(int(v) for v in F.P)
     pinv16 = np.uint32(F.pinv16)
@@ -202,9 +227,10 @@ def ntt_pallas(F: Field, a, w: int):
     shape = a.shape
     n = shape[-2]
     rev, tail_tw, heads = _plan(F, n, w)
-    xt = jnp.moveaxis(a.reshape(-1, n, L), -1, 1)    # (B, 16, n)
-    key = f"ntt_limb_major_{F._key[0]}_B{xt.shape[0]}_n{n}"
+    a2 = a.reshape(-1, n, L)
+    key = (f"ntt_rows_{F._key[0]}_B{a2.shape[0]}_n{n}"
+           f"_T{min(TILE, n)}")
     out = aot.call(
-        key, lambda x, r, t, *h: _ntt_limb_major(F, x, n, r, t, *h),
-        xt, rev, tail_tw, *heads)
-    return jnp.moveaxis(out, 1, -1).reshape(shape)
+        key, lambda x, r, t, *h: _ntt_rows(F, x, n, r, t, *h),
+        a2, rev, tail_tw, *heads)
+    return out.reshape(shape)

@@ -66,6 +66,8 @@ from ..ops.pyfield import PALLAS_BASE, VESTA_BASE, PF
 PASTA_FR = Field(VESTA_BASE, "pasta_fr")
 PASTA_FP_HOST = PF(PALLAS_BASE, "pallas_base")
 
+L16 = 16           # limbs per field element (ops/field.py layout)
+
 
 @dataclass(frozen=True)
 class _CurveCfg:
@@ -100,7 +102,7 @@ def _msm_mont_cfg(cfg: "_CurveCfg", points_dev, mont_scalars):
         if cb.unify(mont_scalars.shape[0]):
             return msm.msm_small_many_mont(points_dev,
                                            mont_scalars[None])[0]
-        return msm.msm_mont(points_dev, mont_scalars)
+        return msm.msm_mont_aot(points_dev, mont_scalars, 13)
     one_raw = jnp.zeros_like(mont_scalars).at[..., 0].set(1)
     normal = cfg.SF.mul(mont_scalars, one_raw)
     prods = cfg.dev.scalar_mul(points_dev, normal)       # (N, 3, 16)
@@ -270,6 +272,72 @@ def commit(params: ParamsIPA, coeffs_mont, blind: int):
     return cfg.pg.add(base, cfg.pg.mul(params.h, blind))
 
 
+def _open_poly_fixed_shape(params: ParamsIPA, cfg: _CurveCfg, a,
+                           blind: int, x: int, tw, rng) -> None:
+    """The k-round fold with CONSTANT-SHAPE device work (BN254, big n).
+
+    The direct formulation (below) folds the generator vector every round
+    (a 254-step shared-scalar ladder over the surviving lanes) and issues
+    the L/R inner products as 2k MSMs of k DIFFERENT shrinking shapes —
+    measured 31.9 s of the 43.4 s k=17 IPA prove in round 4, and the
+    shape zoo is why its warmup (2458 s) dwarfed the KZG path's.
+
+    Key identity: the folded generators stay G-linear —
+
+        G^{(j)}[i] = Σ_{t ≡ i (mod 2^{k-j+1})}  w_t · G_t,
+        w_t = Π_{r < j, bit_{k-r}(t) = 1} u_r^{-1},
+
+    so every L_j/R_j main term is an n-point MSM over the ORIGINAL
+    generator vector with cheap per-round scalar bookkeeping:
+
+        L_j = Σ_t [bit_{k-j}(t) = 1] · w_t · a_lo^{(j)}[t mod 2^{k-j}] · G_t
+
+    (and symmetrically for R_j). Per round: one masked w update, two
+    tiled scalar builds, ONE batched 2-row MSM dispatch — every round
+    hits the SAME compiled program / jax.export artifact. The group
+    elements (hence proof bytes) are identical to the folding path."""
+    F, pg, sp = cfg.SF, cfg.pg, cfg.sp
+    n = int(a.shape[0])
+    k = n.bit_length() - 1
+    g_dev = jnp.asarray(params.g[:n])
+    b = _powers_dev(x, n, F, sp)
+    rho = blind
+    wv = jnp.broadcast_to(jnp.asarray(F.ONE), (n, L16))
+    idx = jnp.arange(n, dtype=jnp.uint32)
+
+    for j in range(1, k + 1):
+        half = n >> j
+        hi = ((idx >> np.uint32(k - j)) & 1).astype(bool)[:, None]
+        a_lo, a_hi = a[:half], a[half:]
+        b_lo, b_hi = b[:half], b[half:]
+        l_b, m_b = _rand_scalar(rng, sp), _rand_scalar(rng, sp)
+        reps = n // half
+        s_l = jnp.where(hi, F.mul(wv, jnp.tile(a_lo, (reps, 1))), 0)
+        s_r = jnp.where(hi, 0, F.mul(wv, jnp.tile(a_hi, (reps, 1))))
+        pts2 = msm.msm_many_mont_aot(g_dev, jnp.stack([s_l, s_r]), 13)
+        lmain, rmain = cfg.dev.to_affine_ints(np.asarray(pts2))
+        ip_l = F.to_int(np.asarray(_ip(F, a_lo, b_hi)))
+        ip_r = F.to_int(np.asarray(_ip(F, a_hi, b_lo)))
+        Lp = pg.add(pg.add(lmain, pg.mul(params.u, ip_l)),
+                    pg.mul(params.h, l_b))
+        Rp = pg.add(pg.add(rmain, pg.mul(params.u, ip_r)),
+                    pg.mul(params.h, m_b))
+        tw.write_point(Lp)
+        tw.write_point(Rp)
+        u_j = tw.squeeze_challenge()
+        u_inv = pow(u_j, -1, sp)
+        a = _fold_scalars(F, a, jnp.asarray(F.from_int(u_j)))
+        b = _fold_scalars(F, b, jnp.asarray(F.from_int(u_inv)))
+        wv = jnp.where(
+            hi, F.mul(wv, jnp.broadcast_to(jnp.asarray(F.from_int(u_inv)),
+                                           (n, L16))), wv)
+        rho = (rho + u_inv * l_b + u_j * m_b) % sp
+
+    a0 = F.to_int(np.asarray(a)[0])
+    tw.write_scalar(a0)
+    tw.write_scalar(rho)
+
+
 def open_poly(params: ParamsIPA, coeffs_mont, blind: int, x: int,
               v: int, tw, rng=None) -> None:
     """Write the log-size opening proof for a(x) = v to the transcript."""
@@ -278,6 +346,8 @@ def open_poly(params: ParamsIPA, coeffs_mont, blind: int, x: int,
     a = jnp.asarray(coeffs_mont)
     m = int(a.shape[0])
     assert m & (m - 1) == 0, "power-of-two length"
+    if cfg.name == "bn254" and m >= 4096:
+        return _open_poly_fixed_shape(params, cfg, a, blind, x, tw, rng)
     g_cur = jnp.asarray(params.g[:m])
     b = _powers_dev(x, m, F, sp)
     rho = blind
