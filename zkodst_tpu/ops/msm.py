@@ -113,8 +113,18 @@ def _weighted_bucket_total(buckets, packed: bool = False):
 
 def _seg_scan_packed_flat(pt, starts):
     """Single-level packed segmented scan (used for cross-tile aggregates
-    and as the small-N path): one fused Pallas step per level."""
+    and as the small-N path): one fused Pallas step per level.
+
+    When the whole array fits one scan tile on a kernel backend, the
+    log2(n) separate seg-step launches collapse into ONE tile-kernel
+    program (all levels in VMEM) — the per-window aggregate scans were
+    ~10 sequential ~0.1 ms launches each (round-5 profiling)."""
     n = pt.shape[1]
+    from ..pallas import ec
+
+    if _use_kernels() and 128 <= n <= ec._SCAN_TILE and n % 128 == 0:
+        v, _ = ec.seg_scan_tiles(pt, starts.astype(jnp.uint32)[None, :])
+        return v
     steps = max(1, (n - 1).bit_length())
     strides = jnp.asarray([1 << s for s in range(steps)], jnp.int32)
     ids = jnp.arange(n, dtype=jnp.int32)

@@ -43,10 +43,19 @@ from .mulmod import L, _vec_add, _vec_mul, _vec_sub
 
 import os as _os
 
-# tail-kernel slab (lanes); also the head-stage lane tile. Bigger slabs
-# mean fewer grid programs (each with a fixed DMA/setup cost) and more
-# fused stages per program — measured on v5e round 5 (see docs/PERF.md).
-TILE = int(_os.environ.get("ZKODST_NTT_TILE", "8192"))
+# tail-kernel slab (lanes); also the head-stage lane tile. Measured on
+# v5e round 5: T=4096 is no better than 2048 and T=8192 fails to
+# compile (VMEM) — the tail kernel is compute/issue-bound, not
+# program-count-bound (docs/PERF.md).
+TILE = int(_os.environ.get("ZKODST_NTT_TILE", "2048"))
+
+# First head-style stage. Round-5 profiling: a tail stage costs ~4 ms
+# per (8, 16, 2^17) pass (full-lane twiddle mul + 2 rolls + select, and
+# register pressure), a head stage ~1 ms (contiguous u/v halves → mul
+# on HALF the lanes, no shuffles). Head blocks need the butterfly
+# half-width on the LANE axis, so h ≥ 128 (the v5e lane tile); stages
+# h < HEAD_MIN stay in the fused tail kernel.
+HEAD_MIN = int(_os.environ.get("ZKODST_NTT_HEAD_MIN", "128"))
 
 
 # ---------------------------------------------------------------------------
@@ -77,11 +86,14 @@ def _tail_kernel(p_limbs, pinv16, stages: int, x_ref, tw_ref, o_ref):
     x2d = x_ref[0, :, :]                             # (16, T)
     for s in range(stages):
         h = 1 << s
-        tw = [tw_ref[s, i, :] for i in range(L)]
         xv2d = pltpu.roll(x2d, (-h) % T, axis=1)     # at u-lane j: x[j+h]
         x = [x2d[i, :] for i in range(L)]
         xv = [xv2d[i, :] for i in range(L)]
-        t = _vec_mul(xv, tw, pv, pinv16, zero)       # w·v   (at u lanes)
+        if s == 0:
+            t = xv                                   # stage-0 twiddle ≡ 1
+        else:
+            tw = [tw_ref[s, i, :] for i in range(L)]
+            t = _vec_mul(xv, tw, pv, pinv16, zero)   # w·v   (at u lanes)
         plus = _vec_add(x, t, pv, zero)              # u + w·v
         minus = _vec_sub(x, t, pv, zero)             # u − w·v
         md2d = pltpu.roll(to2d(minus), h, axis=1)    # at v-lane j+h: minus[j]
@@ -91,18 +103,24 @@ def _tail_kernel(p_limbs, pinv16, stages: int, x_ref, tw_ref, o_ref):
 
 
 def _head_kernel(p_limbs, pinv16, x_ref, tw_ref, o_ref):
-    """One h ≥ TILE stage; x_ref (1, 16, 1, 2, Ta): [...,0,:]=u, [...,1,:]=v."""
+    """One h ≥ HEAD_MIN stage; x_ref (1, 16, G, 2, Ta): u at [..., 0, :],
+    v at [..., 1, :]. G > 1 packs several butterfly groups per program
+    when h < TILE, so every program still moves a full slab — the mul
+    runs on HALF the lanes (the v halves), which is why a head-style
+    stage costs ~¼ of a tail stage (round-5 measurement)."""
     zero = jnp.zeros((x_ref.shape[-1],), jnp.uint32)
     pv = [np.uint32(v) for v in p_limbs]
-    u = [x_ref[0, i, 0, 0, :] for i in range(L)]
-    v = [x_ref[0, i, 0, 1, :] for i in range(L)]
+    G = x_ref.shape[2]
     tw = [tw_ref[i, :] for i in range(L)]
-    t = _vec_mul(v, tw, pv, pinv16, zero)
-    plus = _vec_add(u, t, pv, zero)
-    minus = _vec_sub(u, t, pv, zero)
-    for i in range(L):
-        o_ref[0, i, 0, 0, :] = plus[i]
-        o_ref[0, i, 0, 1, :] = minus[i]
+    for g in range(G):
+        u = [x_ref[0, i, g, 0, :] for i in range(L)]
+        v = [x_ref[0, i, g, 1, :] for i in range(L)]
+        t = _vec_mul(v, tw, pv, pinv16, zero)
+        plus = _vec_add(u, t, pv, zero)
+        minus = _vec_sub(u, t, pv, zero)
+        for i in range(L):
+            o_ref[0, i, g, 0, :] = plus[i]
+            o_ref[0, i, g, 1, :] = minus[i]
 
 
 # ---------------------------------------------------------------------------
@@ -125,20 +143,21 @@ def _plan(F: Field, n: int, w: int):
     """(rev, tail_tw (sB,16,T'), [head_tw (16,h)] for h=T'…n/2)."""
     from ..ops.ntt import powers_table
 
-    key = (F._key, n, w, TILE)
+    key = (F._key, n, w, TILE, HEAD_MIN)
     if key in _PLANS:
         return _PLANS[key]
     T = min(TILE, n)
+    hmin = min(HEAD_MIN, T)
     g = powers_table(F, w, max(1, n // 2)).T         # (16, n/2): w^j
     tails = []
-    for s in range(T.bit_length() - 1):              # h = 1 … T/2
+    for s in range(hmin.bit_length() - 1):           # h = 1 … hmin/2
         h = 1 << s
         th = jax.lax.slice(g, (0, 0), (L, h * (n // (2 * h))),
                            (1, n // (2 * h)))        # (16, h) strided
         tails.append(jnp.tile(th, (1, T // h)))
     tail_tw = jnp.stack(tails) if tails else jnp.zeros((0, L, T), jnp.uint32)
     heads = []
-    h = T
+    h = hmin
     while h <= n // 2:
         heads.append(jax.lax.slice(g, (0, 0), (L, h * (n // (2 * h))),
                                    (1, n // (2 * h))))
@@ -159,12 +178,24 @@ def _plan(F: Field, n: int, w: int):
 def _ntt_rows(F: Field, a2, n: int, rev, tail_tw, *head_tws):
     """DIT NTT on (B, n, 16) row-major tensors, natural order in/out.
 
-    The bit-reversal runs as a ROW gather here (contiguous 64-B rows)
-    before the limb-major transpose — the previous lane-axis gather on
-    the (B, 16, n) layout measured 13.4 ms of the 67 ms k=17 batch-8
-    transform (scripts/profile_components.py). Both layout transposes
-    live inside this jit, so eager callers pay one dispatch."""
-    a2 = jnp.take(a2, rev, axis=1)
+    Bit-reversal: one flat n-row gather measured 13–15 ms per
+    (8, ·, 2^17) call on v5e in EITHER layout (XLA TPU gathers are
+    granularity-bound, not bandwidth-bound). For n > 2^12 it runs
+    instead as the tensor-product factorization
+    rev_k = rev_11 ⊗ rev_{k-11}: two COARSE axis permutations on a
+    (B, 2^11, 2^{k-11}, 16) view (chunked takes with multi-KB rows)
+    plus one structured transpose. Both layout transposes live inside
+    this jit, so eager callers pay one dispatch."""
+    k = n.bit_length() - 1
+    if k > 12:
+        k2, k1 = 11, k - 11
+        rev2 = jnp.asarray(_bitrev(1 << k2))
+        rev1 = jnp.asarray(_bitrev(1 << k1))
+        y = a2.reshape(-1, 1 << k2, 1 << k1, L)
+        z = jnp.take(jnp.take(y, rev2, axis=1), rev1, axis=2)
+        a2 = jnp.transpose(z, (0, 2, 1, 3)).reshape(-1, n, L)
+    else:
+        a2 = jnp.take(a2, rev, axis=1)
     xt = jnp.moveaxis(a2, -1, 1)                     # (B, 16, n)
     out = _ntt_limb_major(F, xt, n, tail_tw, *head_tws)
     return jnp.moveaxis(out, 1, -1)
@@ -178,9 +209,10 @@ def _ntt_limb_major(F: Field, xt, n: int, tail_tw, *head_tws):
 
     B = xt.shape[0]
     T = min(TILE, n)
+    hmin = min(HEAD_MIN, T)
     p_limbs = tuple(int(v) for v in F.P)
     pinv16 = np.uint32(F.pinv16)
-    stages = T.bit_length() - 1
+    stages = hmin.bit_length() - 1
     if stages:
         xt = pl.pallas_call(
             partial(_tail_kernel, p_limbs, pinv16, stages),
@@ -193,21 +225,22 @@ def _ntt_limb_major(F: Field, xt, n: int, tail_tw, *head_tws):
             ],
             out_specs=pl.BlockSpec((1, L, T), lambda b, c: (b, 0, c)),
         )(xt.reshape(B, L, n), tail_tw).reshape(B, L, n)
-    h = T
+    h = hmin
     for tw in head_tws:
         nb = n // (2 * h)
         xv = xt.reshape(B, L, nb, 2, h)
         Ta = min(h, TILE)
+        G = max(1, min(nb, TILE // (2 * h)))         # groups per program
         xt = pl.pallas_call(
             partial(_head_kernel, p_limbs, pinv16),
             out_shape=jax.ShapeDtypeStruct((B, L, nb, 2, h), jnp.uint32),
-            grid=(B, nb, h // Ta),
+            grid=(B, nb // G, h // Ta),
             in_specs=[
-                pl.BlockSpec((1, L, 1, 2, Ta),
+                pl.BlockSpec((1, L, G, 2, Ta),
                              lambda b, i, j: (b, 0, i, 0, j)),
                 pl.BlockSpec((L, Ta), lambda b, i, j: (0, j)),
             ],
-            out_specs=pl.BlockSpec((1, L, 1, 2, Ta),
+            out_specs=pl.BlockSpec((1, L, G, 2, Ta),
                                    lambda b, i, j: (b, 0, i, 0, j)),
         )(xv, tw).reshape(B, L, n)
         h *= 2
