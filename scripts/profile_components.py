@@ -194,7 +194,7 @@ def main() -> None:
     # tail kernel alone
     from jax.experimental import pallas as pl
     T = pntt.TILE
-    stages = T.bit_length() - 1
+    stages = min(pntt.HEAD_MIN, T).bit_length() - 1
     p_limbs = tuple(int(v) for v in FR.P)
     pinv16 = np.uint32(FR.pinv16)
 
@@ -214,30 +214,32 @@ def main() -> None:
     report["ntt_tail_11stages"] = {
         "ms": round(timeit(do_tail, xt, tail_tw) * 1e3, 2)}
 
-    # head stages together (6 launches inside one jit)
+    # head stages together (from h = HEAD_MIN, grouped blocks)
     @jax.jit
     def do_heads(x, *tws):
-        h = T
+        h = min(pntt.HEAD_MIN, T)
         for tw in tws:
             nb = nn // (2 * h)
             xv = x.reshape(B, 16, nb, 2, h)
             Ta = min(h, T)
+            G = max(1, min(nb, T // (2 * h)))
             x = pl.pallas_call(
                 partial(pntt._head_kernel, p_limbs, pinv16),
                 out_shape=jax.ShapeDtypeStruct((B, 16, nb, 2, h), jnp.uint32),
-                grid=(B, nb, h // Ta),
+                grid=(B, nb // G, h // Ta),
                 in_specs=[
-                    pl.BlockSpec((1, 16, 1, 2, Ta),
+                    pl.BlockSpec((1, 16, G, 2, Ta),
                                  lambda b, i, j: (b, 0, i, 0, j)),
                     pl.BlockSpec((16, Ta), lambda b, i, j: (0, j)),
                 ],
-                out_specs=pl.BlockSpec((1, 16, 1, 2, Ta),
+                out_specs=pl.BlockSpec((1, 16, G, 2, Ta),
                                        lambda b, i, j: (b, 0, i, 0, j)),
             )(xv, tw).reshape(B, 16, nn)
             h *= 2
         return x
 
-    report["ntt_head_6stages"] = {
+    report["ntt_head_stages"] = {
+        "n_stages": len(heads),
         "ms": round(timeit(do_heads, xt, *heads) * 1e3, 2)}
 
     fntt = jax.jit(lambda s: nttmod.ntt(FR, s, w))

@@ -316,30 +316,59 @@ class Field:
         REQUIRES every element nonzero (the total would otherwise be 0 and
         poison the whole batch) — callers use it on β/γ-shifted
         denominators and vanishing evaluations, nonzero w.h.p."""
-        n = a.shape[0]
-        steps = max(1, (n - 1).bit_length())
-        strides = jnp.asarray([1 << s for s in range(steps)], jnp.int32)
-        ids = jnp.arange(n, dtype=jnp.int32)
         one = jnp.broadcast_to(jnp.asarray(self.ONE), a.shape)
-
-        def scan_dir(x, reverse):
-            def body(v, stride):
-                prev = jnp.roll(v, -stride if reverse else stride, axis=0)
-                oob = (ids >= n - stride) if reverse else (ids < stride)
-                prev = jnp.where(oob[(...,) + (None,) * (a.ndim - 1)],
-                                 one, prev)
-                return self.mul(v, prev), None
-
-            out, _ = jax.lax.scan(body, x, strides)
-            return out
-
-        incl_pre = scan_dir(a, False)               # ∏_{j<=i}
-        incl_suf = scan_dir(a, True)                # ∏_{j>=i}
+        incl_pre = self.cumprod_incl(a)             # ∏_{j<=i}
+        incl_suf = self.cumprod_incl(a, reverse=True)   # ∏_{j>=i}
         total_inv = self.inv(incl_pre[-1])
         pre_exc = jnp.concatenate([one[:1], incl_pre[:-1]], axis=0)
         suf_exc = jnp.concatenate([incl_suf[1:], one[:1]], axis=0)
         return self.mul(self.mul(pre_exc, suf_exc),
                         jnp.broadcast_to(total_inv, a.shape))
+
+    def cumprod_incl(self, a, reverse: bool = False):
+        """Inclusive cumulative product along axis 0 of an (n, 16)
+        Montgomery tensor (suffix products with reverse=True).
+
+        TPU path: chained sequential scan in limb-major layout — ONE
+        field mul per element (the Hillis–Steele fallback does log2(n)
+        full-array muls, each wrapped in two layout transposes by the
+        (…,16)-minor pallas adapter; round-5 profiling put the prover's
+        grand-product phase almost entirely in those scans). Field
+        multiplication is exact and commutative, so the association
+        change cannot alter results (proof bytes are unaffected)."""
+        n = a.shape[0]
+        W = 2048
+        x = a[::-1] if reverse else a
+        if (_pallas_wanted(x, x) and a.ndim == 2 and n % W == 0
+                and n // W >= 2):
+            from ..pallas import mulmod as mm
+
+            S = n // W
+            xt = x.T                                       # (16, n)
+            cm = jnp.moveaxis(xt.reshape(L, W, S), 1, 2).reshape(L, n)
+            local = mm.chain_cumprod_t(self, cm, W)
+            agg = local[:, (S - 1) * W:]                   # (16, W)
+            incl = mm.cumprod_tile_t(self, agg)
+            onec = jnp.asarray(self.ONE, jnp.uint32)[:, None]
+            carry = jnp.concatenate([onec, incl[:, :-1]], axis=1)
+            carry_full = jnp.repeat(carry, S, axis=1)      # chains contiguous
+            local_nat = jnp.moveaxis(
+                local.reshape(L, S, W), 1, 2).reshape(L, n)
+            out = mm.mulmod_t(self, local_nat, carry_full).T
+        else:
+            steps = max(1, (n - 1).bit_length())
+            strides = jnp.asarray([1 << s for s in range(steps)], jnp.int32)
+            ids = jnp.arange(n, dtype=jnp.int32)
+            one = jnp.broadcast_to(jnp.asarray(self.ONE), x.shape)
+
+            def body(v, stride):
+                prev = jnp.roll(v, stride, axis=0)
+                prev = jnp.where((ids < stride)[(...,) + (None,) *
+                                                (x.ndim - 1)], one, prev)
+                return self.mul(v, prev), None
+
+            out, _ = jax.lax.scan(body, x, strides)
+        return out[::-1] if reverse else out
 
     # ------------------------------------------------------------------
     # predicates

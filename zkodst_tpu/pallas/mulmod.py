@@ -139,6 +139,113 @@ def _submod_kernel(p_limbs, a_ref, b_ref, o_ref):
         o_ref[k, :] = out[k]
 
 
+def _mul_chain_kernel(p_limbs, pinv16, x_ref, o_ref, acc_ref):
+    """Sequential chained cumulative-product step (grid axis = position).
+
+    Lane l of every (16, W) block belongs to chain l; grid step s
+    presents chain l's s-th element:  out = acc·x ; acc := out  (acc
+    starts at Montgomery 1). ONE field mul per element — the
+    Hillis–Steele cumprod this replaces does log2(n) full-array muls
+    plus two layout transposes per level (the (…,16)-minor wrapper),
+    which round-5 profiling put at ~1.5 s of the prove's grand-product
+    phase."""
+    from jax.experimental import pallas as pl
+
+    s = pl.program_id(0)
+    pv = [np.uint32(v) for v in p_limbs]
+    onev = [np.uint32(x) for x in p_limbs_one(pv, pinv16)]
+
+    @pl.when(s == 0)
+    def _init():
+        for i in range(L):
+            acc_ref[i, :] = jnp.zeros_like(x_ref[i, :]) + onev[i]
+
+    zero = jnp.zeros_like(x_ref[0, :])
+    acc = [acc_ref[i, :] for i in range(L)]
+    x = [x_ref[i, :] for i in range(L)]
+    out = _vec_mul(acc, x, pv, pinv16, zero)
+    for i in range(L):
+        o_ref[i, :] = out[i]
+        acc_ref[i, :] = out[i]
+
+
+_ONE_CACHE: dict = {}
+
+
+def p_limbs_one(pv, pinv16):
+    """Montgomery ONE (R mod p) limbs for the modulus with limb vector
+    pv — cached per modulus (static, host-side)."""
+    key = tuple(int(v) for v in pv)
+    if key not in _ONE_CACHE:
+        p = sum(int(v) << (16 * i) for i, v in enumerate(pv))
+        r = (1 << 256) % p
+        _ONE_CACHE[key] = tuple((r >> (16 * i)) & 0xFFFF for i in range(L))
+    return _ONE_CACHE[key]
+
+
+def _mul_scan_tile_kernel(p_limbs, pinv16, x_ref, o_ref):
+    """All-levels Hillis–Steele cumulative product on ONE (16, T) VMEM
+    tile (the aggregate pass of the two-level chained cumprod)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    T = x_ref.shape[1]
+    zero = jnp.zeros((T,), jnp.uint32)
+    pv = [np.uint32(v) for v in p_limbs]
+    onev = [np.uint32(x) for x in p_limbs_one(pv, pinv16)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    x2d = x_ref[:, :]
+    steps = max(1, (T - 1).bit_length())
+    for it in range(steps):
+        s = 1 << it
+        rolled = pltpu.roll(x2d, s, axis=1)
+        oob = lane < s
+        prev = [jnp.where(oob.reshape(-1), onev[i], rolled[i, :])
+                for i in range(L)]
+        x = [x2d[i, :] for i in range(L)]
+        out = _vec_mul(x, prev, pv, pinv16, zero)
+        x2d = jnp.concatenate([r.reshape(1, -1) for r in out], axis=0)
+    o_ref[:, :] = x2d
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def chain_cumprod_t(F: Field, xt, W: int):
+    """Per-chain inclusive cumulative product of chain-major (16, n)
+    Montgomery tensors (chain l at lanes l, W+l, 2W+l, …); returns the
+    (16, n) local products (chain aggregates at the last block)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = xt.shape[1]
+    assert n % W == 0
+    S = n // W
+    return pl.pallas_call(
+        partial(_mul_chain_kernel, tuple(int(x) for x in F.P),
+                np.uint32(F.pinv16)),
+        out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+        grid=(S,),
+        in_specs=[pl.BlockSpec((L, W), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((L, W), lambda i: (0, i)),
+        scratch_shapes=[pltpu.VMEM((L, W), jnp.uint32)],
+    )(xt)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def cumprod_tile_t(F: Field, xt):
+    """Full inclusive cumulative product over the lanes of ONE (16, n)
+    tile (n ≤ 2048), all levels fused in VMEM."""
+    from jax.experimental import pallas as pl
+
+    n = xt.shape[1]
+    return pl.pallas_call(
+        partial(_mul_scan_tile_kernel, tuple(int(x) for x in F.P),
+                np.uint32(F.pinv16)),
+        out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+        grid=(1,),
+        in_specs=[pl.BlockSpec((L, n), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((L, n), lambda i: (0, 0)),
+    )(xt)
+
+
 def _binop_t(kern_builder, F: Field, at, bt):
     from jax.experimental import pallas as pl
 

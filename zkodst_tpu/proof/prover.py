@@ -20,6 +20,7 @@ TPU-native specifics:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, List, Tuple
 
 import jax
@@ -46,21 +47,10 @@ MSM_C = 13
 # ---------------------------------------------------------------------------
 
 def _cumprod_incl(x):
-    """Inclusive cumulative field product along axis 0 (Hillis–Steele with
-    traced strides: one mul-graph instantiation)."""
-    n = x.shape[0]
-    steps = max(1, (n - 1).bit_length())
-    strides = jnp.asarray([1 << s for s in range(steps)], jnp.int32)
-    ids = jnp.arange(n, dtype=jnp.int32)
-    one = jnp.broadcast_to(jnp.asarray(F.ONE), x.shape)
-
-    def body(v, stride):
-        prev = jnp.roll(v, stride, axis=0)
-        prev = jnp.where((ids < stride)[:, None], one, prev)
-        return F.mul(v, prev), None
-
-    out, _ = jax.lax.scan(body, x, strides)
-    return out
+    """Inclusive cumulative field product along axis 0 — the chained
+    limb-major kernel scan on TPU, Hillis–Steele elsewhere
+    (Field.cumprod_incl)."""
+    return F.cumprod_incl(x)
 
 
 def field_sum(a):
@@ -187,6 +177,14 @@ def _lookup_perm_indices(in_d: np.ndarray, tb_d: np.ndarray, u: int):
                      ].set(perm_tb0, mode="drop")
     sperm = jnp.where(usable, sperm, ids)
     return perm_in, sperm
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _prep_advice(adv_u64_stack, blinds, n: int):
+    """(A, n, 2) u64 advice columns -> (A, n, 16) blinded field columns
+    in ONE dispatch (u64→Montgomery conversion + blinding-tail set)."""
+    ev = u64_cols_to_field(F, adv_u64_stack)
+    return ev.at[:, n - BLINDING_ROWS:].set(blinds)
 
 
 def _grand_product(ratio, carry16):
@@ -588,10 +586,22 @@ def create_proof(params, pk: ProvingKey,
     absorb_instances(tw, circ, instance_u64)
 
     # --- field forms; blind the advice tail with full-width randoms --------
+    # ONE jitted dispatch for every column's u64→field conversion + tail
+    # blind: the per-column eager chain (convert + upload + set, ~5 relay
+    # dispatches × |advice|) was measurable prove time on the axon relay
+    # (round 5; each warm eager dispatch costs ~15 ms there). Blinds are
+    # drawn in the SAME per-name order as the old per-column loop, so the
+    # rng stream — hence proof bytes — is unchanged.
     evals: Dict[str, jnp.ndarray] = {}
-    for name in circ.advice_names:
-        evals[name] = blind_tail(
-            u64_cols_to_field(F, jnp.asarray(advice_u64[name])))
+    adv_blinds = F.from_ints([[rng.randrange(PFR.p)
+                               for _ in range(BLINDING_ROWS)]
+                              for _ in circ.advice_names])
+    adv_stack = _prep_advice(
+        jnp.stack([jnp.asarray(advice_u64[name])
+                   for name in circ.advice_names]),
+        jnp.asarray(adv_blinds), n)
+    for i, name in enumerate(circ.advice_names):
+        evals[name] = adv_stack[i]
     for name in circ.instance_names:
         evals[name] = u64_cols_to_field(
             F, jnp.asarray(np.asarray(instance_u64[name], np.uint32)))
@@ -768,8 +778,16 @@ def create_proof(params, pk: ProvingKey,
     # computed once per key and kept device-resident (~32 MB each at k=17).
     static_names = set(pk.fixed_coeffs) | {
         f"perm.sigma{i}" for i in range(len(pk.sigma_coeffs))}
-    if not hasattr(pk, "_static_exts"):
-        pk._static_exts = {}
+    # keyed BY MESH: these tensors are device-placed by the mesh they
+    # were extended over; reusing one pk across different meshes (e.g.
+    # proof-level DP over disjoint device groups, dryrun stage 3c)
+    # otherwise mixes device assignments inside _quotient
+    mesh_key = (mesh, tuple(mesh_axis) if isinstance(mesh_axis, (list,
+                tuple)) else mesh_axis) if mesh is not None else None
+    if not hasattr(pk, "_static_exts_by_mesh"):
+        pk._static_exts_by_mesh = {}
+    if mesh_key not in pk._static_exts_by_mesh:
+        se = {}
         grp_names = [nm for nm in pk._needed_names if nm in static_names]
         for i in range(0, len(grp_names), 15):
             grp = grp_names[i: i + 15]
@@ -777,8 +795,9 @@ def create_proof(params, pk: ProvingKey,
                 jnp.stack([coeffs[nm] for nm in grp]), mesh=mesh,
                 mesh_axis=mesh_axis)
             for j, nm in enumerate(grp):
-                pk._static_exts[nm] = ext_grp[j]
-    exts = dict(pk._static_exts)
+                se[nm] = ext_grp[j]
+        pk._static_exts_by_mesh[mesh_key] = se
+    exts = dict(pk._static_exts_by_mesh[mesh_key])
     G = 15
     dyn_names = [nm for nm in pk._needed_names if nm not in static_names]
     for i in range(0, len(dyn_names), G):
