@@ -105,6 +105,25 @@ def main() -> None:
         "vpu_util_pct": round(100 * ops / VPU_TOPS, 1),
     }
 
+    # --- witness kernel (VERDICT r4 weak #5 / ask #8) -----------------------
+    from zkodst_tpu.ops import blake2, u64
+    v = blake2.EIP152_VECTOR
+    Bw = 8192
+    hw = jnp.asarray(np.broadcast_to(u64.from_ints(v["h"]), (Bw, 8, 2)))
+    mw = jnp.asarray(np.broadcast_to(u64.from_ints(v["m"]), (Bw, 16, 2)))
+    tw = jnp.asarray(np.broadcast_to(u64.from_ints(v["t"]), (Bw, 2, 2)))
+    fw = jnp.ones((Bw,), jnp.bool_)
+    step = jax.jit(lambda h, m, t, f: blake2.blake2f(h, m, t, f, 12))
+    dt = timeit(step, hw, mw, tw, fw)
+    # static u32-op count per compression (same model as bench.py):
+    # 12 rounds x 2 vectorized G-steps x 4 u64 lanes x ~76 u32 ops/lane
+    # + schedule gather/finalize ~= 8.2e3 u32 ops
+    comp_s = Bw / dt
+    report["witness_blake2f"] = {
+        "batch": Bw, "compressions_per_s": round(comp_s, 1),
+        "vpu_util_pct": round(100 * comp_s * 8.2e3 / VPU_TOPS, 2),
+    }
+
     # --- MSM 2^17 ----------------------------------------------------------
     N = 1 << 17
     pts = curve.from_affine_ints(
